@@ -1,0 +1,169 @@
+"""Segment-masked attention over packed sequences.
+
+This is the single attention entry point serving every regime the reference
+implements with four different backends (flex-attention, SDPA nested masks,
+flash-attn varlen causal, flash-attn varlen non-causal over merged KV —
+see reference qwen2vl.py:290-416, 445-664). The mask rule lives in per-token
+metadata (ops/masks.py); the same function is used at train and inference time.
+
+Backends:
+  * dense    — materializes logits; for short sequences & tests.
+  * chunked  — online-softmax blockwise XLA attention (flash-style, fp32
+               accumulators); memory-safe for 30k-token geo prefills and
+               differentiable everywhere (CPU/TPU).
+  * pallas   — hand-tiled TPU flash kernel (ops/flash_attention.py), used
+               automatically on TPU for large sequences.
+
+Layout: packed (no batch dim) — q: (S_q, H, D); k, v: (S_kv, KVH, D) with GQA.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .masks import TokenInfo, make_segment_mask
+
+_NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def dense_attention(
+    q: jax.Array,  # (..., S_q, H, D)
+    k: jax.Array,  # (..., S_kv, H, D)
+    v: jax.Array,
+    mask: Optional[jax.Array] = None,  # broadcastable to (..., H, S_q, S_kv)
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Plain batched MHA with optional boolean mask; fp32 softmax."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum(
+        "...qhd,...khd->...hqk", q, k, preferred_element_type=jnp.float32
+    )
+    logits = logits * scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, _NEG_INF)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    out = jnp.einsum(
+        "...hqk,...khd->...qhd",
+        probs.astype(v.dtype),
+        v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(v.dtype)
+
+
+def _expand_gqa(q: jax.Array, kvh: int):
+    sq, h, d = q.shape
+    g = h // kvh
+    return q.reshape(sq, kvh, g, d)
+
+
+def _segment_attention_dense(q, k, v, q_info, kv_info, scale):
+    kvh = k.shape[1]
+    mask = make_segment_mask(q_info, kv_info)  # (S_q, S_kv)
+    qg = _expand_gqa(q, kvh)  # (Sq, KVH, G, D)
+    logits = jnp.einsum(
+        "qngd,knd->qngk", qg, k, preferred_element_type=jnp.float32
+    ) * scale
+    logits = jnp.where(mask[:, None, None, :], logits, _NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    # Zero rows with no visible kv (padding queries).
+    any_visible = jnp.any(mask, axis=-1)[:, None, None, None]
+    probs = jnp.where(any_visible, probs, 0.0)
+    out = jnp.einsum(
+        "qngk,knd->qngd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(q.shape).astype(v.dtype)
+
+
+def _segment_attention_chunked(q, k, v, q_info, kv_info, scale, kv_chunk):
+    """Online-softmax blockwise attention (flash-style in pure XLA)."""
+    s_q, h, d = q.shape
+    s_kv, kvh, _ = k.shape
+    g = h // kvh
+    n_chunks = -(-s_kv // kv_chunk)
+    pad = n_chunks * kv_chunk - s_kv
+    if pad:
+        k = jnp.pad(k, ((0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, pad), (0, 0), (0, 0)))
+        kv_info = TokenInfo(
+            jnp.pad(kv_info.doc_id, (0, pad), constant_values=-1),
+            jnp.pad(kv_info.fn_id, (0, pad), constant_values=-1),
+            jnp.pad(kv_info.noise_id, (0, pad), constant_values=-1),
+            jnp.pad(kv_info.pos, (0, pad)),
+        )
+    qg = _expand_gqa(q, kvh).astype(jnp.float32)
+
+    kc = k.reshape(n_chunks, kv_chunk, kvh, d)
+    vc = v.reshape(n_chunks, kv_chunk, kvh, d)
+    infoc = jax.tree.map(lambda f: f.reshape(n_chunks, kv_chunk), kv_info)
+
+    def body(carry, xs):
+        m, l, acc = carry
+        kb, vb, ib = xs
+        logits = (
+            jnp.einsum(
+                "qngd,tnd->qngt", qg, kb.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )
+        mask = make_segment_mask(q_info, TokenInfo(*ib))  # (S_q, T)
+        logits = jnp.where(mask[:, None, None, :], logits, _NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(logits, axis=-1))
+        p = jnp.exp(logits - m_new[..., None])
+        p = jnp.where(mask[:, None, None, :], p, 0.0)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1)
+        acc_new = acc * alpha[..., None] + jnp.einsum(
+            "qngt,tnd->qngd", p, vb.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        return (m_new, l_new, acc_new), None
+
+    m0 = jnp.full((s_q, kvh, g), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((s_q, kvh, g), jnp.float32)
+    acc0 = jnp.zeros((s_q, kvh, g, d), jnp.float32)
+    (m, l, acc), _ = jax.lax.scan(body, (m0, l0, acc0), (kc, vc, tuple(infoc)))
+    out = acc / jnp.maximum(l, 1e-30)[..., None]
+    return out.reshape(s_q, h, d).astype(v.dtype)
+
+
+def segment_attention(
+    q: jax.Array,  # (S_q, num_heads, head_dim)
+    k: jax.Array,  # (S_kv, num_kv_heads, head_dim)
+    v: jax.Array,
+    q_info: TokenInfo,
+    kv_info: TokenInfo,
+    scale: Optional[float] = None,
+    impl: str = "auto",
+    kv_chunk: int = 512,
+) -> jax.Array:
+    """Packed segment-masked GQA attention. Returns (S_q, num_heads, head_dim)."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if impl == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        if on_tpu and q.shape[0] * k.shape[0] >= 512 * 512:
+            impl = "pallas"
+        elif q.shape[0] * k.shape[0] <= 4096 * 4096:
+            impl = "dense"
+        else:
+            impl = "chunked"
+    if impl == "pallas":
+        try:
+            from .flash_attention import flash_segment_attention
+
+            return flash_segment_attention(q, k, v, q_info, kv_info, scale=scale)
+        except ImportError:
+            impl = "chunked"
+    if impl == "dense":
+        return _segment_attention_dense(q, k, v, q_info, kv_info, scale)
+    if impl == "chunked":
+        return _segment_attention_chunked(q, k, v, q_info, kv_info, scale, kv_chunk)
+    raise ValueError(f"unknown attention impl: {impl}")

@@ -1,0 +1,37 @@
+"""Normalization primitives.
+
+All norms compute statistics in float32 and cast back to the input dtype,
+matching the reference numerics (Qwen2RMSNorm, reference
+modeling/qwen2vl/modeling_qwen2_vl.py:487-504; nn.LayerNorm fp32 under autocast).
+XLA fuses these into surrounding ops; no Pallas kernel is needed.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """RMSNorm over the last axis. weight has shape (x.shape[-1],)."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    y = xf * jax.lax.rsqrt(var + eps)
+    return (weight * y.astype(dtype)).astype(dtype)
+
+
+def layer_norm(
+    x: jax.Array,
+    weight: jax.Array,
+    bias: jax.Array,
+    eps: float = 1e-6,
+) -> jax.Array:
+    """LayerNorm over the last axis, fp32 statistics."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * weight.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(dtype)

@@ -1,0 +1,162 @@
+"""Bridge for running the PyTorch reference (/root/reference) on CPU inside
+tests, to produce golden values for parity checks.
+
+The reference imports `flash_attn` (a CUDA-only wheel) and `easydict` which are
+not installed; we register behavior-equivalent CPU stubs before importing it.
+The flash stub reproduces flash_attn_varlen_func semantics including GQA and
+the bottom-right-aligned causal mask for q_len < kv_len.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+REF_ROOT = "/root/reference"
+
+
+def _install_flash_stub():
+    if "flash_attn" in sys.modules:
+        return
+    import torch
+    import torch.nn.functional as F
+
+    import importlib.machinery
+
+    mod = types.ModuleType("flash_attn")
+    mod.__spec__ = importlib.machinery.ModuleSpec("flash_attn", None)
+    mod.__version__ = "2.7.4"
+
+    def flash_attn_varlen_func(
+        q,
+        k,
+        v,
+        cu_seqlens_q,
+        cu_seqlens_k,
+        max_seqlen_q=None,
+        max_seqlen_k=None,
+        causal=False,
+        **kwargs,
+    ):
+        outs = []
+        nseg = len(cu_seqlens_q) - 1
+        h = q.shape[1]
+        kvh = k.shape[1]
+        rep = h // kvh
+        for i in range(nseg):
+            qs = q[cu_seqlens_q[i] : cu_seqlens_q[i + 1]].float()
+            ks = k[cu_seqlens_k[i] : cu_seqlens_k[i + 1]].float()
+            vs = v[cu_seqlens_k[i] : cu_seqlens_k[i + 1]].float()
+            if rep > 1:
+                ks = ks.repeat_interleave(rep, dim=1)
+                vs = vs.repeat_interleave(rep, dim=1)
+            qt = qs.permute(1, 0, 2)  # (H, Sq, D)
+            kt = ks.permute(1, 0, 2)
+            vt = vs.permute(1, 0, 2)
+            mask = None
+            if causal:
+                sq, sk = qt.shape[1], kt.shape[1]
+                offs = sk - sq
+                idx_q = torch.arange(sq).unsqueeze(1)
+                idx_k = torch.arange(sk).unsqueeze(0)
+                mask = idx_k <= (idx_q + offs)
+            o = F.scaled_dot_product_attention(qt, kt, vt, attn_mask=mask)
+            outs.append(o.permute(1, 0, 2).to(q.dtype))
+        return torch.cat(outs, dim=0)
+
+    mod.flash_attn_varlen_func = flash_attn_varlen_func
+    sys.modules["flash_attn"] = mod
+
+
+def _install_easydict_stub():
+    if "easydict" in sys.modules:
+        return
+    mod = types.ModuleType("easydict")
+
+    class EasyDict(dict):
+        def __getattr__(self, k):
+            try:
+                return self[k]
+            except KeyError as e:
+                raise AttributeError(k) from e
+
+        def __setattr__(self, k, v):
+            self[k] = v
+
+    mod.EasyDict = EasyDict
+    sys.modules["easydict"] = mod
+
+
+def _install_torchvision_stub():
+    if "torchvision" in sys.modules:
+        return
+    try:
+        import torchvision  # noqa: F401
+
+        return
+    except ImportError:
+        pass
+    import importlib.machinery
+
+    import torch
+    import torch.nn.functional as F
+
+    tv = types.ModuleType("torchvision")
+    tv.__spec__ = importlib.machinery.ModuleSpec("torchvision", None)
+    transforms = types.ModuleType("torchvision.transforms")
+    functional = types.ModuleType("torchvision.transforms.functional")
+
+    class Normalize:
+        def __init__(self, mean, std, inplace=False):
+            self.mean = torch.tensor(mean)
+            self.std = torch.tensor(std)
+
+        def __call__(self, x):
+            shape = [1] * x.ndim
+            shape[-3] = -1
+            return (x - self.mean.view(shape)) / self.std.view(shape)
+
+    class Compose:
+        def __init__(self, ts):
+            self.ts = ts
+
+        def __call__(self, x):
+            for t in self.ts:
+                x = t(x)
+            return x
+
+    class ToTensor:
+        def __call__(self, pic):
+            import numpy as np
+
+            arr = np.asarray(pic, dtype=np.float32) / 255.0
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            return torch.from_numpy(arr).permute(2, 0, 1).contiguous()
+
+    class InterpolationMode:
+        BILINEAR = "bilinear"
+        BICUBIC = "bicubic"
+        NEAREST = "nearest"
+        LANCZOS = "lanczos"
+
+    transforms.Normalize = Normalize
+    transforms.Compose = Compose
+    transforms.ToTensor = ToTensor
+    transforms.InterpolationMode = InterpolationMode
+    transforms.functional = functional
+    functional.to_tensor = lambda pic: ToTensor()(pic)
+    tv.transforms = transforms
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.transforms"] = transforms
+    sys.modules["torchvision.transforms.functional"] = functional
+
+
+def install():
+    """Make the reference importable: `modeling.*`, `pi3.*`, `data.*`."""
+    for p in (REF_ROOT, REF_ROOT + "/modeling"):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    _install_flash_stub()
+    _install_easydict_stub()
+    _install_torchvision_stub()
