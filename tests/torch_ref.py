@@ -152,6 +152,35 @@ def _install_torchvision_stub():
     sys.modules["torchvision.transforms.functional"] = functional
 
 
+def patch_dino_attention_fp32(model):
+    """Replace the reference DINOv2 attention forward (which hard-casts q/k/v
+    to bf16 for the flash kernel, dinov2_model.py:49-58) with an fp32-exact
+    equivalent so CPU golden values are full precision."""
+    import flash_attn
+    from modeling.g2vlm.dinov2_model import Dinov2WithRegistersSelfAttention2
+
+    def fwd(self, hidden_states, cu_seqlens, max_seqlen, **kw):
+        t = hidden_states.shape[0]
+        q = self.query(hidden_states).view(
+            t, self.num_attention_heads, self.attention_head_size
+        )
+        k = self.key(hidden_states).view(
+            t, self.num_attention_heads, self.attention_head_size
+        )
+        v = self.value(hidden_states).view(
+            t, self.num_attention_heads, self.attention_head_size
+        )
+        o = flash_attn.flash_attn_varlen_func(
+            q, k, v, cu_seqlens_q=cu_seqlens, cu_seqlens_k=cu_seqlens, causal=False
+        )
+        return o.reshape(t, -1)
+
+    for m in model.modules():
+        if isinstance(m, Dinov2WithRegistersSelfAttention2):
+            m.forward = fwd.__get__(m)
+    return model
+
+
 def install():
     """Make the reference importable: `modeling.*`, `pi3.*`, `data.*`."""
     for p in (REF_ROOT, REF_ROOT + "/modeling"):
