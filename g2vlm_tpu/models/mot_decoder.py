@@ -1,0 +1,423 @@
+"""Mixture-of-Transformers Qwen2-VL decoder, TPU-native.
+
+Behavioral spec: reference modeling/g2vlm/qwen2vl.py (PackedAttentionMoT
+:419-664, Qwen2VLMoTDecoderLayer :751-910, Qwen2VLModel :1022-1337,
+Qwen2VLForCausalLM :1340-1595), with dense / MoE-FFN layer variants.
+
+Design (not a port):
+  * ONE forward. The reference forks forward_train (compiled flex-attention
+    over a block mask) vs forward_inference (flash-attn varlen + scatter-
+    rebuilt KV cache) per class. Here a single function runs packed tokens +
+    per-token TokenInfo metadata through segment-masked attention; prefill,
+    packed training, and 1-token decode differ only in their inputs.
+  * Expert routing without gather/scatter. The reference fancy-indexes tokens
+    into per-expert Linears (qwen2vl.py:454-472) — dynamic shapes that XLA
+    can't tile. We compute both experts' projections and select with
+    jnp.where on an is_geo mask (static shapes, fully fused); an `expert_mode`
+    switch short-circuits to a single expert when a call is single-modality
+    (e.g. text decode touches only "und" weights).
+  * KV cache is caller-owned and preallocated; this module just returns the
+    new K/V for the processed tokens.
+
+Dtype policy: matmuls in compute_dtype (bf16 on TPU), RMSNorms + RoPE + the
+qk-norms in fp32 — mirroring the reference's autocast behavior
+(qwen2vl.py:600-619).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import LLMConfig
+from ..ops.attention import segment_attention
+from ..ops.masks import TokenInfo
+from ..ops.norms import rms_norm
+from ..ops.rope import apply_mrope, mrope_cos_sin
+
+# expert_mode values
+UND_ONLY = "und"     # all tokens use the base ("und") expert
+GEO_ONLY = "geo"     # all tokens use the geometry expert
+MIXED = "mixed"      # route per-token by is_geo
+
+
+class LayerKV(NamedTuple):
+    k: jax.Array  # (S, KVH, HD)
+    v: jax.Array
+
+
+def _lin(x, p, dtype):
+    y = x.astype(dtype) @ p["w"].astype(dtype)
+    if "b" in p:
+        y = y + p["b"].astype(dtype)
+    return y
+
+
+def _select(is_geo, geo, und):
+    return jnp.where(is_geo[:, None], geo, und)
+
+
+def _expert_lin(x_und, x_geo, p_und, p_geo, is_geo, mode, dtype):
+    if mode == UND_ONLY:
+        return _lin(x_und, p_und, dtype)
+    if mode == GEO_ONLY:
+        return _lin(x_geo, p_geo, dtype)
+    return _select(is_geo, _lin(x_geo, p_geo, dtype), _lin(x_und, p_und, dtype))
+
+
+def _mlp(x, p, dtype):
+    """SwiGLU MLP (reference Qwen2MLP, modeling_qwen2_vl.py:508-521)."""
+    g = _lin(x, p["gate"], dtype)
+    u = _lin(x, p["up"], dtype)
+    return _lin(jax.nn.silu(g) * u, p["down"], dtype)
+
+
+def mot_layer_forward(
+    lp: Dict,
+    x: jax.Array,  # (S, D)
+    is_geo: jax.Array,  # (S,) bool
+    cos: jax.Array,  # (S, head_dim) fp32
+    sin: jax.Array,
+    q_info: TokenInfo,
+    kv_info: Optional[TokenInfo],
+    past_kv: Optional[LayerKV],
+    cfg: LLMConfig,
+    expert_mode: str,
+    compute_dtype,
+    attn_impl: str = "auto",
+) -> Tuple[jax.Array, LayerKV]:
+    """One MoT decoder layer over packed tokens. Returns (hidden, new_kv).
+
+    `past_kv` (if given) is the cache prefix: attention runs over
+    [past_kv ; new kv] with kv_info covering the concatenation.
+    """
+    nh, kvh, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    s = x.shape[0]
+    variant = cfg.layer_module  # "mot" | "dense" | "moe"
+    has_expert_attn = variant == "mot"
+    dt = compute_dtype
+
+    residual = x
+
+    # --- attention block ---
+    h_und = h_geo = None
+    if expert_mode != GEO_ONLY or not has_expert_attn:
+        h_und = rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps)
+    if has_expert_attn and expert_mode != UND_ONLY:
+        h_geo = rms_norm(x, lp["ln_attn_geo"], cfg.rms_norm_eps)
+
+    if has_expert_attn:
+        q = _expert_lin(h_und, h_geo, lp["q"], lp["q_geo"], is_geo, expert_mode, dt)
+        k = _expert_lin(h_und, h_geo, lp["k"], lp["k_geo"], is_geo, expert_mode, dt)
+        v = _expert_lin(h_und, h_geo, lp["v"], lp["v_geo"], is_geo, expert_mode, dt)
+    else:
+        q = _lin(h_und, lp["q"], dt)
+        k = _lin(h_und, lp["k"], dt)
+        v = _lin(h_und, lp["v"], dt)
+
+    q = q.reshape(s, nh, hd)
+    k = k.reshape(s, kvh, hd)
+    v = v.reshape(s, kvh, hd)
+
+    # Per-head RMS qk-norm, fp32, per expert (reference qwen2vl.py:600-606).
+    if cfg.qk_norm:
+        qf = q.astype(jnp.float32)
+        kf = k.astype(jnp.float32)
+        if has_expert_attn:
+            if expert_mode == UND_ONLY:
+                q = rms_norm(qf, lp["q_norm"], cfg.rms_norm_eps)
+                k = rms_norm(kf, lp["k_norm"], cfg.rms_norm_eps)
+            elif expert_mode == GEO_ONLY:
+                q = rms_norm(qf, lp["q_norm_geo"], cfg.rms_norm_eps)
+                k = rms_norm(kf, lp["k_norm_geo"], cfg.rms_norm_eps)
+            else:
+                gm = is_geo[:, None, None]
+                q = jnp.where(
+                    gm,
+                    rms_norm(qf, lp["q_norm_geo"], cfg.rms_norm_eps),
+                    rms_norm(qf, lp["q_norm"], cfg.rms_norm_eps),
+                )
+                k = jnp.where(
+                    gm,
+                    rms_norm(kf, lp["k_norm_geo"], cfg.rms_norm_eps),
+                    rms_norm(kf, lp["k_norm"], cfg.rms_norm_eps),
+                )
+        else:
+            q = rms_norm(qf, lp["q_norm"], cfg.rms_norm_eps)
+            k = rms_norm(kf, lp["k_norm"], cfg.rms_norm_eps)
+
+    q, k = apply_mrope(q, k, cos, sin)
+    q = q.astype(dt)
+    k = k.astype(dt)
+    v = v.astype(dt)
+    new_kv = LayerKV(k, v)
+
+    if past_kv is not None:
+        k_all = jnp.concatenate([past_kv.k.astype(dt), k], axis=0)
+        v_all = jnp.concatenate([past_kv.v.astype(dt), v], axis=0)
+    else:
+        k_all, v_all = k, v
+    if kv_info is None:
+        kv_info = q_info
+
+    attn = segment_attention(q, k_all, v_all, q_info, kv_info, impl=attn_impl)
+    attn = attn.reshape(s, nh * hd)
+
+    if has_expert_attn:
+        attn_out = _expert_lin(
+            attn, attn, lp["o"], lp["o_geo"], is_geo, expert_mode, dt
+        )
+    else:
+        attn_out = _lin(attn, lp["o"], dt)
+
+    # LayerScale on geo rows only (reference qwen2vl.py:812-813, 883-886).
+    if variant == "mot":
+        scaled = attn_out * lp["ls1"].astype(dt)
+        if expert_mode == GEO_ONLY:
+            attn_out = scaled
+        elif expert_mode == MIXED:
+            attn_out = _select(is_geo, scaled, attn_out)
+
+    x = residual + attn_out
+
+    # --- MLP block ---
+    residual = x
+    has_expert_mlp = variant in ("mot", "moe")
+    if variant == "mot":
+        m_und = m_geo = None
+        if expert_mode != GEO_ONLY:
+            m_und = _mlp(rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps), lp["mlp"], dt)
+        if expert_mode != UND_ONLY:
+            m_geo = _mlp(
+                rms_norm(x, lp["ln_mlp_geo"], cfg.rms_norm_eps), lp["mlp_geo"], dt
+            )
+        if expert_mode == UND_ONLY:
+            mlp_out = m_und
+        elif expert_mode == GEO_ONLY:
+            mlp_out = m_geo * lp["ls2"].astype(dt)
+        else:
+            mlp_out = _select(is_geo, m_geo * lp["ls2"].astype(dt), m_und)
+    elif variant == "moe":
+        h = rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps)
+        if expert_mode == UND_ONLY:
+            mlp_out = _mlp(h, lp["mlp"], dt)
+        elif expert_mode == GEO_ONLY:
+            mlp_out = _mlp(h, lp["mlp_geo"], dt)
+        else:
+            mlp_out = _select(
+                is_geo, _mlp(h, lp["mlp_geo"], dt), _mlp(h, lp["mlp"], dt)
+            )
+    else:
+        mlp_out = _mlp(rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps), lp["mlp"], dt)
+
+    return residual + mlp_out, new_kv
+
+
+def decoder_forward(
+    params: Dict,
+    x: jax.Array,  # (S, D) embedded packed sequence
+    is_geo: jax.Array,  # (S,) bool
+    position_ids: jax.Array,  # (3, S)
+    q_info: TokenInfo,
+    kv_info: Optional[TokenInfo],
+    past_kv: Optional[Dict],  # {"k": (L, T, KVH, HD), "v": ...} or None
+    cfg: LLMConfig,
+    expert_mode: str = MIXED,
+    compute_dtype=jnp.float32,
+    attn_impl: str = "auto",
+    final_norm: bool = True,
+) -> Tuple[jax.Array, Dict]:
+    """Run all layers. Returns (hidden (S, D) after final norm, new_kv stacked
+    {"k": (L, S, KVH, HD), "v": ...}).
+
+    The final norm is expert-routed like the layers (reference
+    qwen2vl.py:1322-1331).
+    """
+    cos, sin = mrope_cos_sin(
+        position_ids, cfg.head_dim, cfg.rope_theta, cfg.mrope_section
+    )
+
+    layers = params["layers"]
+
+    def body(carry, xs):
+        h = carry
+        lp, pkv = xs
+        h, new_kv = mot_layer_forward(
+            lp,
+            h,
+            is_geo,
+            cos,
+            sin,
+            q_info,
+            kv_info,
+            pkv,
+            cfg,
+            expert_mode,
+            compute_dtype,
+            attn_impl,
+        )
+        return h, new_kv
+
+    if past_kv is None:
+        h, kvs = jax.lax.scan(
+            lambda c, lp: body(c, (lp, None)), x.astype(compute_dtype), layers
+        )
+    else:
+        h, kvs = jax.lax.scan(
+            body, x.astype(compute_dtype), (layers, LayerKV(past_kv["k"], past_kv["v"]))
+        )
+
+    if final_norm:
+        if cfg.use_moe:
+            if expert_mode == UND_ONLY:
+                h = rms_norm(h, params["norm"], cfg.rms_norm_eps)
+            elif expert_mode == GEO_ONLY:
+                h = rms_norm(h, params["norm_geo"], cfg.rms_norm_eps)
+            else:
+                h = jnp.where(
+                    is_geo[:, None],
+                    rms_norm(h, params["norm_geo"], cfg.rms_norm_eps),
+                    rms_norm(h, params["norm"], cfg.rms_norm_eps),
+                )
+        else:
+            h = rms_norm(h, params["norm"], cfg.rms_norm_eps)
+    return h, {"k": kvs.k, "v": kvs.v}
+
+
+def embed_tokens(params: Dict, token_ids: jax.Array) -> jax.Array:
+    return params["embed"][token_ids]
+
+
+def lm_head(params: Dict, hidden: jax.Array, compute_dtype=jnp.float32) -> jax.Array:
+    return hidden.astype(compute_dtype) @ params["lm_head"].astype(compute_dtype)
+
+
+# ---------------------------------------------------------------------------
+# init / torch weight mapping
+# ---------------------------------------------------------------------------
+
+def init_params(cfg: LLMConfig, key: jax.Array, dtype=jnp.float32) -> Dict:
+    d, inter, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    nh, kvh, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    L = cfg.num_hidden_layers
+    ks = iter(jax.random.split(key, 64))
+
+    def lin(din, dout, bias=True):
+        p = {"w": jax.random.normal(next(ks), (L, din, dout), dtype) * (din ** -0.5)}
+        if bias:
+            p["b"] = jnp.zeros((L, dout), dtype)
+        return p
+
+    def mlp():
+        return {
+            "gate": lin(d, inter, bias=False),
+            "up": lin(d, inter, bias=False),
+            "down": lin(inter, d, bias=False),
+        }
+
+    layers = {
+        "ln_attn": jnp.ones((L, d), dtype),
+        "q": lin(d, nh * hd),
+        "k": lin(d, kvh * hd),
+        "v": lin(d, kvh * hd),
+        "o": lin(nh * hd, d, bias=False),
+        "q_norm": jnp.ones((L, hd), dtype),
+        "k_norm": jnp.ones((L, hd), dtype),
+        "ln_mlp": jnp.ones((L, d), dtype),
+        "mlp": mlp(),
+    }
+    if cfg.layer_module == "mot":
+        layers.update(
+            ln_attn_geo=jnp.ones((L, d), dtype),
+            q_geo=lin(d, nh * hd),
+            k_geo=lin(d, kvh * hd),
+            v_geo=lin(d, kvh * hd),
+            o_geo=lin(nh * hd, d, bias=False),
+            q_norm_geo=jnp.ones((L, hd), dtype),
+            k_norm_geo=jnp.ones((L, hd), dtype),
+            ln_mlp_geo=jnp.ones((L, d), dtype),
+            mlp_geo=mlp(),
+            ls1=jnp.full((L, d), cfg.layer_scale_init, dtype),
+            ls2=jnp.full((L, d), cfg.layer_scale_init, dtype),
+        )
+    elif cfg.layer_module == "moe":
+        layers.update(mlp_geo=mlp())
+
+    params = {
+        "embed": jax.random.normal(next(ks), (v, d), dtype) * 0.02,
+        "layers": layers,
+        "norm": jnp.ones((d,), dtype),
+        "lm_head": jax.random.normal(next(ks), (d, v), dtype) * (d ** -0.5),
+    }
+    if cfg.use_moe:
+        params["norm_geo"] = jnp.ones((d,), dtype)
+    return params
+
+
+def params_from_torch(state_dict, cfg: LLMConfig, prefix: str = "") -> Dict:
+    """Map the reference Qwen2VLForCausalLM state_dict (naming per
+    qwen2vl.py:1340-1356: model.layers.{i}.self_attn.{q,k,v,o}_proj[_moe_geo],
+    .mlp[_moe_geo].{gate,up,down}_proj, .input_layernorm[_moe_geo], ...)."""
+
+    def g(name):
+        t = state_dict[prefix + name]
+        arr = np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+        return jnp.asarray(arr, jnp.float32)
+
+    def lin(name, bias=True):
+        p = {"w": g(name + ".weight").T}
+        if bias:
+            p["b"] = g(name + ".bias")
+        return p
+
+    def mlp(name):
+        return {
+            "gate": lin(name + ".gate_proj", bias=False),
+            "up": lin(name + ".up_proj", bias=False),
+            "down": lin(name + ".down_proj", bias=False),
+        }
+
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        pre = f"model.layers.{i}."
+        lp = {
+            "ln_attn": g(pre + "input_layernorm.weight"),
+            "q": lin(pre + "self_attn.q_proj"),
+            "k": lin(pre + "self_attn.k_proj"),
+            "v": lin(pre + "self_attn.v_proj"),
+            "o": lin(pre + "self_attn.o_proj", bias=False),
+            "q_norm": g(pre + "self_attn.q_norm.weight"),
+            "k_norm": g(pre + "self_attn.k_norm.weight"),
+            "ln_mlp": g(pre + "post_attention_layernorm.weight"),
+            "mlp": mlp(pre + "mlp"),
+        }
+        if cfg.layer_module == "mot":
+            lp.update(
+                ln_attn_geo=g(pre + "input_layernorm_moe_geo.weight"),
+                q_geo=lin(pre + "self_attn.q_proj_moe_geo"),
+                k_geo=lin(pre + "self_attn.k_proj_moe_geo"),
+                v_geo=lin(pre + "self_attn.v_proj_moe_geo"),
+                o_geo=lin(pre + "self_attn.o_proj_moe_geo", bias=False),
+                q_norm_geo=g(pre + "self_attn.q_norm_moe_geo.weight"),
+                k_norm_geo=g(pre + "self_attn.k_norm_moe_geo.weight"),
+                ln_mlp_geo=g(pre + "post_attention_layernorm_moe_geo.weight"),
+                mlp_geo=mlp(pre + "mlp_moe_geo"),
+                ls1=g(pre + "ls1.gamma"),
+                ls2=g(pre + "ls2.gamma"),
+            )
+        elif cfg.layer_module == "moe":
+            lp.update(mlp_geo=mlp(pre + "mlp_moe_geo"))
+        layers.append(lp)
+
+    params = {
+        "embed": g("model.embed_tokens.weight"),
+        "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
+        "norm": g("model.norm.weight"),
+        "lm_head": g("lm_head.weight").T,
+    }
+    if cfg.use_moe:
+        params["norm_geo"] = g("model.norm_moe_geo.weight")
+    return params

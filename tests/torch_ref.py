@@ -181,6 +181,43 @@ def patch_dino_attention_fp32(model):
     return model
 
 
+import contextlib
+
+
+def allow_math_sdpa():
+    """The reference pins SDPA to EFFICIENT_ATTENTION (qwen2vl.py:322,524),
+    which has no CPU kernel for float masks; relax to a no-op context so the
+    math backend can serve golden runs."""
+    import modeling.g2vlm.qwen2vl as ref_qwen
+
+    ref_qwen.sdpa_kernel = lambda *a, **k: contextlib.nullcontext()
+
+
+@contextlib.contextmanager
+def fp32_casts():
+    """Neutralize the reference's in-code `.to(torch.bfloat16)` casts
+    (e.g. qwen2vl.py:375-377, 579, 617-619) so CPU golden values are exact
+    fp32. On CUDA these casts merely mirror autocast; on CPU they would
+    inject bf16 quantization into the goldens."""
+    import torch
+
+    orig = torch.Tensor.to
+
+    def to(self, *args, **kwargs):
+        args = tuple(
+            torch.float32 if a is torch.bfloat16 else a for a in args
+        )
+        if kwargs.get("dtype") is torch.bfloat16:
+            kwargs = dict(kwargs, dtype=torch.float32)
+        return orig(self, *args, **kwargs)
+
+    torch.Tensor.to = to
+    try:
+        yield
+    finally:
+        torch.Tensor.to = orig
+
+
 def install():
     """Make the reference importable: `modeling.*`, `pi3.*`, `data.*`."""
     for p in (REF_ROOT, REF_ROOT + "/modeling"):
