@@ -1,0 +1,347 @@
+"""Pi3/VGGT-style 3D heads reading LLM hidden states, TPU-native.
+
+Behavioral spec: reference modeling/pi3/models/layers/{transformer_head.py:9-130,
+camera_head.py:7-93, block.py:259-406, attention.py:238-270 & 357-381,
+pos_embed.py:106-174} and their assembly in modeling/g2vlm/g2vlm.py:162-226,
+1143-1238.
+
+Components:
+  * 5-block self-attention decoder with 2D axial RoPE (point / camera / conf)
+  * 5-block self+cross decoder (global points; frame-0 tokens as context)
+  * pixel-shuffle linear point head
+  * camera head: 2 residual 1x1 blocks, token mean-pool, MLPs, 9D->SO(3) via
+    fp32 SVD orthogonalization, assembled into SE(3)
+
+All attention here is dense batched MHA over (B*N, hw, D) — static shapes,
+straight onto the MXU. Heads run in fp32 (reference g2vlm.py:1200-1226 wraps
+them in autocast-disabled fp32).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Pi3HeadConfig
+from ..ops.attention import dense_attention
+from ..ops.norms import layer_norm
+from ..ops.rope import apply_rope2d, rope2d_cos_sin
+
+
+def _lin(x, p, dtype):
+    y = x.astype(dtype) @ p["w"].astype(dtype)
+    if "b" in p:
+        y = y + p["b"].astype(dtype)
+    return y
+
+
+def patch_positions(n: int, hp: int, wp: int) -> jax.Array:
+    """(n, hp*wp, 2) cartesian (y, x) patch coordinates (reference
+    pos_embed.py:162-174)."""
+    ys = np.arange(hp, dtype=np.int32)
+    xs = np.arange(wp, dtype=np.int32)
+    grid = np.stack(np.meshgrid(ys, xs, indexing="ij"), axis=-1).reshape(-1, 2)
+    return jnp.broadcast_to(jnp.asarray(grid), (n, hp * wp, 2))
+
+
+def _self_attn(x, lp, cos, sin, num_heads, dtype):
+    """Fused-QKV self attention with RoPE2D (reference FlashAttentionRope,
+    attention.py:357-381; qk_norm is disabled in the Pi3 heads)."""
+    b, s, d = x.shape
+    hd = d // num_heads
+    qkv = _lin(x, lp["qkv"], dtype).reshape(b, s, 3, num_heads, hd)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    q = apply_rope2d(q.transpose(0, 2, 1, 3), cos, sin)
+    k = apply_rope2d(k.transpose(0, 2, 1, 3), cos, sin)
+    out = dense_attention(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v
+    ).reshape(b, s, d)
+    return _lin(out, lp["proj"], dtype)
+
+
+def _cross_attn(x, y, lp, cos_q, sin_q, cos_k, sin_k, num_heads, dtype):
+    """Separate-projection cross attention with RoPE2D (reference
+    FlashCrossAttentionRope, attention.py:238-270)."""
+    b, s, d = x.shape
+    m = y.shape[1]
+    hd = d // num_heads
+    q = _lin(x, lp["q"], dtype).reshape(b, s, num_heads, hd)
+    k = _lin(y, lp["k"], dtype).reshape(b, m, num_heads, hd)
+    v = _lin(y, lp["v"], dtype).reshape(b, m, num_heads, hd)
+    q = apply_rope2d(q.transpose(0, 2, 1, 3), cos_q, sin_q).transpose(0, 2, 1, 3)
+    k = apply_rope2d(k.transpose(0, 2, 1, 3), cos_k, sin_k).transpose(0, 2, 1, 3)
+    out = dense_attention(q, k, v).reshape(b, s, d)
+    return _lin(out, lp["proj"], dtype)
+
+
+def _mlp(x, lp, dtype):
+    h = _lin(x, lp["fc1"], dtype)
+    h = jax.nn.gelu(h, approximate=False)
+    return _lin(h, lp["fc2"], dtype)
+
+
+def decoder_forward(
+    params: Dict,
+    hidden: jax.Array,  # (B*N, hw, D)
+    positions: jax.Array,  # (B*N, hw, 2)
+    cfg: Pi3HeadConfig,
+    context: Optional[jax.Array] = None,  # (B*N, hw_ctx, D) for cross decoder
+    context_positions: Optional[jax.Array] = None,
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """Pi3TransformerDecoder / Pi3ContextTransformerDecoder. Output is
+    linear_out(blocks(hidden)) of dim cfg.*_out_dim."""
+    d = hidden.shape[-1]
+    hd = d // cfg.num_heads
+    eps = cfg.layer_norm_eps
+    dt = compute_dtype
+    cos, sin = rope2d_cos_sin(positions, hd, cfg.rope_freq)
+    if context is not None:
+        cos_k, sin_k = rope2d_cos_sin(context_positions, hd, cfg.rope_freq)
+        ctx = context.astype(dt)
+
+    x = hidden.astype(dt)
+
+    def block(x, lp):
+        h = layer_norm(x, lp["norm1"]["w"], lp["norm1"]["b"], eps)
+        x = x + _self_attn(h, lp["attn"], cos, sin, cfg.num_heads, dt)
+        if context is not None:
+            y = layer_norm(ctx, lp["norm_y"]["w"], lp["norm_y"]["b"], eps)
+            h = layer_norm(x, lp["norm2"]["w"], lp["norm2"]["b"], eps)
+            x = x + _cross_attn(
+                h, y, lp["cross"], cos, sin, cos_k, sin_k, cfg.num_heads, dt
+            )
+            h = layer_norm(x, lp["norm3"]["w"], lp["norm3"]["b"], eps)
+        else:
+            h = layer_norm(x, lp["norm2"]["w"], lp["norm2"]["b"], eps)
+        x = x + _mlp(h, lp["mlp"], dt)
+        return x, None
+
+    x, _ = jax.lax.scan(block, x, params["blocks"])
+    return _lin(x, params["linear_out"], dt)
+
+
+def linear_pts3d(params: Dict, tokens: jax.Array, img_hw, patch_size: int) -> jax.Array:
+    """Pixel-shuffle point head (reference Pi3LinearPts3d,
+    transformer_head.py:58-81). tokens (B, S, D) -> (B, H, W, out_dim)."""
+    h, w = img_hw
+    p = patch_size
+    b, s, _ = tokens.shape
+    hp, wp = h // p, w // p
+    feat = _lin(tokens, params["proj"], jnp.float32)  # (B, S, C*p*p)
+    c = feat.shape[-1] // (p * p)
+    # torch: view(B, C*p*p, hp, wp) then pixel_shuffle(p):
+    # out[b, ch, y*p+i, x*p+j] = feat[b, ch*p*p + i*p + j, y, x]
+    feat = feat.reshape(b, hp, wp, c, p, p)
+    feat = feat.transpose(0, 3, 1, 4, 2, 5).reshape(b, c, h, w)
+    return feat.transpose(0, 2, 3, 1)  # (B, H, W, C)
+
+
+def svd_orthogonalize(m: jax.Array) -> jax.Array:
+    """9D -> SO(3) via SVD (reference camera_head.py:74-93), fp32.
+
+    r = V' @ U^T where USV^T = normalize(m)^T and V' has its last column
+    flipped by det(V @ U^T) to ensure a proper rotation.
+    """
+    m = m.reshape(-1, 3, 3).astype(jnp.float32)
+    norm = jnp.linalg.norm(m, axis=-1, keepdims=True)
+    m_t = (m / jnp.maximum(norm, 1e-12)).swapaxes(-1, -2)
+    u, s, vh = jnp.linalg.svd(m_t, full_matrices=False)
+    v = vh.swapaxes(-1, -2)
+    det = jnp.linalg.det(v @ u.swapaxes(-1, -2))
+    v_fixed = jnp.concatenate([v[..., :-1], v[..., -1:] * det[:, None, None]], axis=-1)
+    return v_fixed @ u.swapaxes(-1, -2)
+
+
+def camera_head(params: Dict, feat: jax.Array, patch_h: int, patch_w: int) -> jax.Array:
+    """Camera pose head (reference Pi3CameraHead, camera_head.py:32-72).
+    feat (BN, hw, C) -> (BN, 4, 4) SE(3)."""
+    bn = feat.shape[0]
+    x = feat.astype(jnp.float32)
+    for blk in params["res_conv"]:
+        h = jax.nn.relu(_lin(x, blk["c1"], jnp.float32))
+        h = jax.nn.relu(_lin(h, blk["c2"], jnp.float32))
+        h = jax.nn.relu(_lin(h, blk["c3"], jnp.float32))
+        x = x + h  # head_skip is Identity (in==out channels)
+    x = jnp.mean(x, axis=1)  # AdaptiveAvgPool2d(1) == token mean
+    x = jax.nn.relu(_lin(x, params["mlp1"], jnp.float32))
+    x = jax.nn.relu(_lin(x, params["mlp2"], jnp.float32))
+    t = _lin(x, params["fc_t"], jnp.float32)  # (BN, 3)
+    r9 = _lin(x, params["fc_rot"], jnp.float32)  # (BN, 9)
+    rot = svd_orthogonalize(r9)
+    pose = jnp.zeros((bn, 4, 4), jnp.float32)
+    pose = pose.at[:, :3, :3].set(rot)
+    pose = pose.at[:, :3, 3].set(t)
+    pose = pose.at[:, 3, 3].set(1.0)
+    return pose
+
+
+# ---------------------------------------------------------------------------
+# init / torch weight mapping
+# ---------------------------------------------------------------------------
+
+def init_decoder_params(
+    cfg: Pi3HeadConfig,
+    key: jax.Array,
+    dim: int,
+    out_dim: int,
+    cross: bool = False,
+    dtype=jnp.float32,
+) -> Dict:
+    L = cfg.depth
+    hidden = int(dim * cfg.mlp_ratio)
+    ks = iter(jax.random.split(key, 32))
+
+    def lin(din, dout, bias=True):
+        p = {"w": jax.random.normal(next(ks), (L, din, dout), dtype) * (din ** -0.5)}
+        if bias:
+            p["b"] = jnp.zeros((L, dout), dtype)
+        return p
+
+    def norm():
+        return {"w": jnp.ones((L, dim), dtype), "b": jnp.zeros((L, dim), dtype)}
+
+    blocks = {
+        "norm1": norm(),
+        "attn": {"qkv": lin(dim, 3 * dim), "proj": lin(dim, dim)},
+        "norm2": norm(),
+        "mlp": {"fc1": lin(dim, hidden), "fc2": lin(hidden, dim)},
+    }
+    if cross:
+        blocks.update(
+            norm_y=norm(),
+            norm3=norm(),
+            cross={
+                "q": lin(dim, dim),
+                "k": lin(dim, dim),
+                "v": lin(dim, dim),
+                "proj": lin(dim, dim),
+            },
+        )
+    return {
+        "blocks": blocks,
+        "linear_out": {
+            "w": jax.random.normal(next(ks), (dim, out_dim), dtype) * (dim ** -0.5),
+            "b": jnp.zeros((out_dim,), dtype),
+        },
+    }
+
+
+def _t2j(t):
+    return jnp.asarray(
+        np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t),
+        jnp.float32,
+    )
+
+
+def decoder_params_from_torch(state_dict, depth: int, prefix: str = "") -> Dict:
+    """Map Pi3TransformerDecoder / Pi3ContextTransformerDecoder state dicts
+    (naming per transformer_head.py: blocks.{i}.norm1/attn.qkv/..., plus
+    cross_attn / norm_y / norm3 for the context decoder)."""
+
+    def g(name):
+        return _t2j(state_dict[prefix + name])
+
+    def lin(name, bias=True):
+        p = {"w": g(name + ".weight").T}
+        if bias:
+            p["b"] = g(name + ".bias")
+        return p
+
+    def norm(name):
+        return {"w": g(name + ".weight"), "b": g(name + ".bias")}
+
+    cross = any(k.startswith(prefix + "blocks.0.cross_attn.") for k in state_dict)
+    blocks = []
+    for i in range(depth):
+        pre = f"blocks.{i}."
+        bp = {
+            "norm1": norm(pre + "norm1"),
+            "attn": {"qkv": lin(pre + "attn.qkv"), "proj": lin(pre + "attn.proj")},
+            "mlp": {"fc1": lin(pre + "mlp.fc1"), "fc2": lin(pre + "mlp.fc2")},
+        }
+        if cross:
+            bp.update(
+                norm2=norm(pre + "norm2"),
+                norm3=norm(pre + "norm3"),
+                norm_y=norm(pre + "norm_y"),
+                cross={
+                    "q": lin(pre + "cross_attn.q_proj"),
+                    "k": lin(pre + "cross_attn.k_proj"),
+                    "v": lin(pre + "cross_attn.v_proj"),
+                    "proj": lin(pre + "cross_attn.proj"),
+                },
+            )
+        else:
+            bp["norm2"] = norm(pre + "norm2")
+        blocks.append(bp)
+    return {
+        "blocks": jax.tree.map(lambda *xs: jnp.stack(xs), *blocks),
+        "linear_out": lin("linear_out"),
+    }
+
+
+def pts3d_params_from_torch(state_dict, prefix: str = "") -> Dict:
+    return {
+        "proj": {
+            "w": _t2j(state_dict[prefix + "proj.weight"]).T,
+            "b": _t2j(state_dict[prefix + "proj.bias"]),
+        }
+    }
+
+
+def camera_head_params_from_torch(state_dict, prefix: str = "") -> Dict:
+    def lin(name):
+        return {
+            "w": _t2j(state_dict[prefix + name + ".weight"]).T,
+            "b": _t2j(state_dict[prefix + name + ".bias"]),
+        }
+
+    return {
+        "res_conv": [
+            {
+                "c1": lin(f"res_conv.{i}.res_conv1"),
+                "c2": lin(f"res_conv.{i}.res_conv2"),
+                "c3": lin(f"res_conv.{i}.res_conv3"),
+            }
+            for i in range(2)
+        ],
+        "mlp1": lin("more_mlps.0"),
+        "mlp2": lin("more_mlps.2"),
+        "fc_t": lin("fc_t"),
+        "fc_rot": lin("fc_rot"),
+    }
+
+
+def init_pts3d_params(key, dec_dim: int, patch_size: int, out_dim: int, dtype=jnp.float32):
+    d_out = out_dim * patch_size * patch_size
+    return {
+        "proj": {
+            "w": jax.random.normal(key, (dec_dim, d_out), dtype) * (dec_dim ** -0.5),
+            "b": jnp.zeros((d_out,), dtype),
+        }
+    }
+
+
+def init_camera_head_params(key, dim: int, dtype=jnp.float32):
+    ks = iter(jax.random.split(key, 16))
+
+    def lin(din, dout):
+        return {
+            "w": jax.random.normal(next(ks), (din, dout), dtype) * (din ** -0.5),
+            "b": jnp.zeros((dout,), dtype),
+        }
+
+    return {
+        "res_conv": [
+            {"c1": lin(dim, dim), "c2": lin(dim, dim), "c3": lin(dim, dim)}
+            for _ in range(2)
+        ],
+        "mlp1": lin(dim, dim),
+        "mlp2": lin(dim, dim),
+        "fc_t": lin(dim, 3),
+        "fc_rot": lin(dim, 9),
+    }
