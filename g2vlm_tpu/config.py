@@ -187,18 +187,23 @@ class G2VLMConfig:
 
 
 def tiny_test_config() -> G2VLMConfig:
-    """A small config for fast unit/parity tests."""
+    """A small config for fast unit/parity tests.
+
+    Dims respect the reference's hardcoded head counts (Pi3 decoders use 16
+    heads and 1024/512 out dims, reference g2vlm.py:162-185) so the same
+    config can instantiate the torch reference for golden runs.
+    """
     return G2VLMConfig(
         llm=LLMConfig(
             vocab_size=512,
-            hidden_size=96,
+            hidden_size=128,
             intermediate_size=160,
             num_hidden_layers=2,
-            num_attention_heads=6,
+            num_attention_heads=8,
             num_key_value_heads=2,
             mrope_section=(2, 3, 3),
         ),
-        vit=VitConfig(depth=2, embed_dim=64, hidden_size=96, num_heads=4),
+        vit=VitConfig(depth=2, embed_dim=64, hidden_size=128, num_heads=4),
         dino=DinoConfig(
             hidden_size=64,
             num_hidden_layers=2,
@@ -206,5 +211,5 @@ def tiny_test_config() -> G2VLMConfig:
             image_size=56,
             patch_size=14,
         ),
-        pi3=Pi3HeadConfig(depth=2, num_heads=4, point_out_dim=48, camera_out_dim=32),
+        pi3=Pi3HeadConfig(depth=5, num_heads=16),
     )

@@ -161,6 +161,16 @@ def patch_dino_attention_fp32(model):
 
     def fwd(self, hidden_states, cu_seqlens, max_seqlen, **kw):
         t = hidden_states.shape[0]
+        # NOTE: the reference's cu_seqlens count patch tokens only (hw per
+        # view) while the packed stream includes CLS+register tokens, so the
+        # real varlen windows are misaligned and the trailing rows are
+        # UNDEFINED (g2vlm.py:988-996 vs dinov2_model.py:335-344). We use
+        # clean per-view windows — the semantics the code intends.
+        import torch as _torch
+
+        n_seg = len(cu_seqlens) - 1
+        seg = t // n_seg
+        cu = _torch.arange(0, n_seg + 1, dtype=_torch.int32) * seg
         q = self.query(hidden_states).view(
             t, self.num_attention_heads, self.attention_head_size
         )
@@ -171,7 +181,7 @@ def patch_dino_attention_fp32(model):
             t, self.num_attention_heads, self.attention_head_size
         )
         o = flash_attn.flash_attn_varlen_func(
-            q, k, v, cu_seqlens_q=cu_seqlens, cu_seqlens_k=cu_seqlens, causal=False
+            q, k, v, cu_seqlens_q=cu, cu_seqlens_k=cu, causal=False
         )
         return o.reshape(t, -1)
 
