@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark: 32-view multi-view reconstruction throughput (frames/sec/chip)
+on the flagship G2VLM-2B-MoT architecture with random weights.
+
+Matches BASELINE.json config 3 ("batched multi-view reconstruction at 32
+input frames"); the reference publishes no in-repo numbers (BASELINE.md), so
+vs_baseline reports the ratio against the north-star floor of the reference
+GPU envelope — recorded here as the previous round's result when available.
+
+Prints exactly ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    n_views = int(os.environ.get("BENCH_VIEWS", "32"))
+    import jax
+    import jax.numpy as jnp
+
+    from g2vlm_tpu.config import G2VLMConfig
+    from g2vlm_tpu.inference.pipeline import G2VLMPipeline
+    from g2vlm_tpu.models import g2vlm as jg
+
+    cfg = G2VLMConfig(visual_und=False)
+    key = jax.random.PRNGKey(0)
+    params = jg.init_params(cfg, key, dtype=jnp.bfloat16)
+    params = jax.tree.map(lambda x: jax.device_put(x), params)
+    jax.block_until_ready(params)
+
+    pipe = G2VLMPipeline(params, cfg, compute_dtype=jnp.bfloat16)
+
+    # dl3dv-like views: 960x540 -> 518x294 (37x21 patches/view)
+    rng = np.random.default_rng(0)
+    views = (rng.random((n_views, 294, 518, 3)) * 255).astype(np.uint8)
+    imgs = [v for v in views]
+
+    # warmup/compile
+    out = pipe.recon(imgs)
+    _ = out["points"]
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = pipe.recon(imgs)
+        np.asarray(out["points"][0, 0, 0])  # sync
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    fps = n_views / dt
+
+    prev = None
+    try:
+        import glob
+
+        records = sorted(glob.glob("BENCH_r*.json"))
+        if records:
+            with open(records[-1]) as f:
+                prev = json.load(f).get("value")
+    except Exception:
+        prev = None
+    vs_baseline = (fps / prev) if prev else 1.0
+
+    print(
+        json.dumps(
+            {
+                "metric": f"{n_views}-view recon frames/sec/chip (518x294, 2B MoT, bf16)",
+                "value": round(fps, 3),
+                "unit": "frames/sec",
+                "vs_baseline": round(vs_baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -236,3 +236,11 @@ def install():
     _install_flash_stub()
     _install_easydict_stub()
     _install_torchvision_stub()
+    # Newer transformers moved VideoInput out of image_utils; the reference's
+    # image processor still imports it from there.
+    import transformers.image_utils as _iu
+
+    if not hasattr(_iu, "VideoInput"):
+        _iu.VideoInput = list
+    if not hasattr(_iu, "make_batched_videos"):
+        _iu.make_batched_videos = lambda videos: videos
