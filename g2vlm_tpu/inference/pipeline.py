@@ -108,3 +108,103 @@ class G2VLMPipeline:
         out = {k: np.asarray(v) for k, v in out.items()}
         out["images"] = views
         return out
+
+    # ------------------------------------------------------------------
+    # chat with reconstruction in-context (reference G2VLM.chat_with_recon,
+    # g2vlm.py:1305-1410): system prompt -> dino geo prefill -> per-image vit
+    # prefill -> question -> decode. All prefill phases collapse into ONE
+    # packed forward; decode is one jitted while_loop.
+    # ------------------------------------------------------------------
+    SYSTEM_PROMPT = "<|im_start|>system\nYou are a helpful assistant.<|im_end|>\n<|im_start|>user\n"
+
+    def chat(
+        self,
+        images: Sequence,
+        prompt: str,
+        max_new_tokens: int = 100,
+        do_sample: bool = False,
+        temperature: float = 1.0,
+        new_width: int = 518,
+        seed: int = 0,
+    ) -> str:
+        from ..data.vit_preprocess import preprocess_vit_image
+        from . import decoding
+
+        views = load_views(images, new_width=new_width)
+        n, _, h, w = views.shape
+        p = self.cfg.dino_patch_size
+
+        vit_inputs = [preprocess_vit_image(im) for im in images]
+        vit_patches = np.concatenate([x[0] for x in vit_inputs], axis=0)
+        g0 = vit_inputs[0][1]
+        assert all(x[1] == g0 for x in vit_inputs), "mixed vit grids"
+        vit_grid = (n * g0[0], g0[1], g0[2])
+        hm, wm = g0[1] // 2, g0[2] // 2
+
+        b = jg.SequenceBuilder(
+            self.new_token_ids["start_of_image"], self.new_token_ids["end_of_image"]
+        )
+        b.add_text(self._encode_text(self.SYSTEM_PROMPT))
+        b.add_dino_images(n, h // p, w // p)
+        for _ in range(n):
+            b.add_vit_image(hm, wm)
+        b.add_text(
+            self._encode_text(prompt + "<|im_end|>\n<|im_start|>assistant")
+        )
+        pad_to = _round_up(b.curr, self.seq_pad_multiple)
+        prefill = b.build(pad_to=pad_to)
+
+        # start token: last id of the chat template (reference
+        # prepare_start_tokens, g2vlm.py:1042-1068)
+        template_ids = self._encode_text(
+            "<|im_start|>user\\your text<|im_end|>\n<|im_start|>assistant\n"
+        )
+        start_token = template_ids[-1] if template_ids else self.new_token_ids[
+            "eos_token_id"
+        ]
+
+        normed = jnp.asarray(resnet_normalize(views))
+        hidden, kv = jax.jit(
+            lambda pr, di, vp: jg.prefill_hidden(
+                self.params,
+                jg.PackedPrefill(*pr),
+                di,
+                self.cfg,
+                compute_dtype=self.compute_dtype,
+                attn_impl=self.attn_impl,
+                vit_patches=vp,
+                vit_grid_hw=vit_grid,
+                return_kv=True,
+            ),
+            static_argnums=(),
+        )(tuple(prefill), normed, jnp.asarray(vit_patches))
+
+        capacity = max(
+            _round_up(prefill.seq_len + max_new_tokens + 8, 128),
+            len(prefill.doc_id),
+        )
+        cache = decoding.make_cache(
+            self.cfg.llm, capacity, dtype=self.compute_dtype
+        )
+        # only the first seq_len rows are valid KV (padding rows masked by len)
+        cache = decoding.fill_cache(cache, kv, prefill.seq_len)
+
+        toks, num = decoding.generate(
+            self.params["llm"],
+            cache,
+            jnp.asarray(start_token, jnp.int32),
+            jnp.asarray(prefill.next_rope_pos, jnp.int32),
+            eos_token_id=self.new_token_ids["eos_token_id"],
+            cfg=self.cfg.llm,
+            max_new_tokens=max_new_tokens,
+            do_sample=do_sample,
+            temperature=temperature,
+            rng_key=jax.random.PRNGKey(seed),
+            compute_dtype=self.compute_dtype,
+        )
+        ids = np.asarray(toks)[: int(num)]
+        if len(ids) and ids[-1] == self.new_token_ids["eos_token_id"]:
+            ids = ids[:-1]
+        if self.tokenizer is None:
+            return " ".join(map(str, ids.tolist()))
+        return self.tokenizer.decode(ids.tolist())

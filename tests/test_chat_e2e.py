@@ -1,0 +1,149 @@
+"""End-to-end chat parity: our single-prefill + while_loop decode vs the
+reference multi-phase chat_with_recon (g2vlm.py:1305-1410) with identical
+random weights and a deterministic fake tokenizer."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+import torch_ref
+
+torch_ref.install()
+
+from g2vlm_tpu.config import tiny_test_config
+from g2vlm_tpu.data.vit_preprocess import preprocess_vit_image
+from g2vlm_tpu.inference.pipeline import G2VLMPipeline
+from g2vlm_tpu.models import g2vlm as jg
+
+CFG = tiny_test_config()
+TOKEN_IDS = dict(
+    bos_token_id=7, eos_token_id=8, start_of_image=11, end_of_image=12
+)
+MAX_NEW = 4
+
+
+class FakeTokenizer:
+    """Deterministic whitespace 'tokenizer' shared by both sides."""
+
+    eos_token_id = TOKEN_IDS["eos_token_id"]
+
+    def encode(self, text, add_special_tokens=False):
+        return [(hash(w) % 5000) + 100 for w in text.split()]
+
+    def decode(self, ids):
+        return " ".join(map(str, ids))
+
+
+class FakeVitTransform:
+    def __call__(self, images):
+        outs = [preprocess_vit_image(im) for im in images]
+        patches = torch.from_numpy(np.concatenate([o[0] for o in outs], axis=0))
+        grids = torch.tensor([list(o[1]) for o in outs])
+        return patches, grids
+
+
+def _ref_g2vlm():
+    from modeling.g2vlm.qwen2vl import Qwen2VLConfig, Qwen2VLForCausalLM
+    from modeling.qwen2vl.configuration_qwen2_vl import Qwen2VLVisionConfig
+    from modeling.qwen2vl.modeling_qwen2_vl import (
+        Qwen2VisionTransformerPretrainedModel,
+    )
+    from modeling.dinov2_with_registers.configuration_dinov2_with_registers import (
+        Dinov2WithRegistersConfig,
+    )
+    from modeling.g2vlm.dinov2_model import Dinov2WithRegistersModel
+    from modeling.g2vlm.g2vlm import G2VLM, G2VLMConfig
+
+    torch_ref.allow_math_sdpa()
+    llm_cfg = Qwen2VLConfig(
+        vocab_size=CFG.llm.vocab_size,
+        hidden_size=CFG.llm.hidden_size,
+        intermediate_size=CFG.llm.intermediate_size,
+        num_hidden_layers=CFG.llm.num_hidden_layers,
+        num_attention_heads=CFG.llm.num_attention_heads,
+        num_key_value_heads=CFG.llm.num_key_value_heads,
+        qk_norm=True,
+        layer_module="Qwen2VLMoTDecoderLayer",
+        attn_implementation="eager",
+        rope_scaling={"type": "mrope", "mrope_section": list(CFG.llm.mrope_section)},
+    )
+    vit_cfg = Qwen2VLVisionConfig(
+        depth=CFG.vit.depth,
+        embed_dim=CFG.vit.embed_dim,
+        hidden_size=CFG.vit.hidden_size,
+        hidden_act=CFG.vit.hidden_act,
+        mlp_ratio=CFG.vit.mlp_ratio,
+        num_heads=CFG.vit.num_heads,
+        in_channels=3,
+        patch_size=14,
+        spatial_merge_size=2,
+        temporal_patch_size=2,
+        attn_implementation="eager",
+    )
+    dino_cfg = Dinov2WithRegistersConfig(
+        hidden_size=CFG.dino.hidden_size,
+        num_hidden_layers=CFG.dino.num_hidden_layers,
+        num_attention_heads=CFG.dino.num_attention_heads,
+        image_size=CFG.dino.image_size,
+        patch_size=CFG.dino.patch_size,
+        num_register_tokens=CFG.dino.num_register_tokens,
+        attn_implementation="eager",
+    )
+    g2_cfg = G2VLMConfig(
+        visual_und=True,
+        visual_recon=True,
+        llm_config=llm_cfg,
+        vit_config=vit_cfg,
+        dino_config=dino_cfg,
+        vit_max_num_patch_per_side=36,
+    )
+    torch.manual_seed(11)
+    llm = Qwen2VLForCausalLM(llm_cfg)
+    vit = Qwen2VisionTransformerPretrainedModel(vit_cfg)
+    dino = Dinov2WithRegistersModel(dino_cfg)
+    for layer in llm.model.layers:
+        layer.self_attn.rope_scaling["mrope_section"] = list(CFG.llm.mrope_section)
+    model = G2VLM(llm, vit, dino, g2_cfg).eval()
+    with torch.no_grad():
+        for p in model.parameters():
+            p.uniform_(-0.05, 0.05)
+    torch_ref.patch_dino_attention_fp32(model)
+    return model
+
+
+@pytest.mark.slow
+def test_chat_end_to_end_token_parity(rng):
+    from PIL import Image
+
+    model = _ref_g2vlm()
+    img = Image.fromarray(
+        (rng.random((84, 112, 3)) * 255).astype(np.uint8)
+    )
+    question = "How far is the red point from the blue point?"
+
+    tok = FakeTokenizer()
+    with torch_ref.fp32_casts():
+        ref_out = model.chat_with_recon(
+            tokenizer=tok,
+            new_token_ids=dict(TOKEN_IDS),
+            image_transform=FakeVitTransform(),
+            dino_image_transform=None,
+            images=[img],
+            prompt=question,
+            max_length=MAX_NEW + 1,  # reference counts the start token
+            do_sample=False,
+        )
+    # reference returns decoded string of tokens [1:]
+    ref_tokens = [int(x) for x in ref_out.split()]
+
+    params = jg.params_from_torch(model.state_dict(), CFG)
+    pipe = G2VLMPipeline(
+        params, CFG, tokenizer=tok, new_token_ids=dict(TOKEN_IDS),
+        compute_dtype=jnp.float32,
+    )
+    got = pipe.chat([img], question, max_new_tokens=MAX_NEW)
+    got_tokens = [int(x) for x in got.split()]
+
+    assert got_tokens == ref_tokens
