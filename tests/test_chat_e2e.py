@@ -30,10 +30,10 @@ class FakeTokenizer:
     eos_token_id = TOKEN_IDS["eos_token_id"]
 
     def encode(self, text, add_special_tokens=False):
-        return [(hash(w) % 5000) + 100 for w in text.split()]
+        return [(hash(w) % 400) + 20 for w in text.split()]
 
     def decode(self, ids):
-        return " ".join(map(str, ids))
+        return " ".join(str(int(i)) for i in ids)
 
 
 class FakeVitTransform:
