@@ -41,12 +41,12 @@ def _mask_rule(dq, fq, nq, pq, dk, fk, nk, pk):
 
 
 def _flash_kernel(
-    q_ref,  # (BQ, 1, D)
-    k_ref,  # (BK, 1, D)
-    v_ref,  # (BK, 1, D)
+    q_ref,  # (1, BQ, D)
+    k_ref,  # (1, BK, D)
+    v_ref,  # (1, BK, D)
     qm_ref,  # (BQ, 4) int32 metadata: doc, fn, noise, pos
     km_ref,  # (BK, 4)
-    o_ref,  # (BQ, 1, D)
+    o_ref,  # (1, BQ, D)
     m_scr,  # (BQ, 128) fp32 running max (lane-broadcast)
     l_scr,  # (BQ, 128) fp32 running sum
     acc_scr,  # (BQ, D) fp32
@@ -62,9 +62,9 @@ def _flash_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[:, 0, :]
-    k = k_ref[:, 0, :]
-    v = v_ref[:, 0, :]
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
 
     s = jax.lax.dot_general(
         q,
@@ -103,7 +103,7 @@ def _flash_kernel(
     def _():
         l = l_scr[:, :1]
         out = acc_scr[:] / jnp.maximum(l, 1e-30)
-        o_ref[:, 0, :] = out.astype(o_ref.dtype)
+        o_ref[0] = out.astype(o_ref.dtype)
 
 
 def _pack_meta(info: TokenInfo) -> jax.Array:
@@ -121,6 +121,7 @@ def flash_segment_attention(
     scale: Optional[float] = None,
     block_q: int = 512,
     block_kv: int = 512,
+    interpret: bool = False,
 ) -> jax.Array:
     s_q, h, d = q.shape
     s_kv, kvh, _ = k.shape
@@ -139,9 +140,10 @@ def flash_segment_attention(
 
     sq_p = -(-s_q // block_q) * block_q
     skv_p = -(-s_kv // block_kv) * block_kv
-    qp = pad_to(q, sq_p, 0)
-    kp = pad_to(k, skv_p, 0)
-    vp = pad_to(v, skv_p, 0)
+    # head-major layout for TPU tiling: last two dims are (seq, head_dim)
+    qp = pad_to(jnp.swapaxes(q, 0, 1), sq_p, 1)  # (H, S_q, D)
+    kp = pad_to(jnp.swapaxes(k, 0, 1), skv_p, 1)  # (KVH, S_kv, D)
+    vp = pad_to(jnp.swapaxes(v, 0, 1), skv_p, 1)
     qm = _pack_meta(q_info)
     km = _pack_meta(kv_info)
     # pad query meta doc=-2 (never matches), kv meta doc=-1
@@ -155,19 +157,19 @@ def flash_segment_attention(
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((sq_p, h, d), v.dtype),
+        out_shape=jax.ShapeDtypeStruct((h, sq_p, d), v.dtype),
         grid=(h, n_q, n_kv),
         in_specs=[
             pl.BlockSpec(
-                (block_q, 1, d), lambda hh, i, j: (i, hh, 0),
+                (1, block_q, d), lambda hh, i, j: (hh, i, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (block_kv, 1, d), lambda hh, i, j, g=g: (j, hh // g, 0),
+                (1, block_kv, d), lambda hh, i, j, g=g: (hh // g, j, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (block_kv, 1, d), lambda hh, i, j, g=g: (j, hh // g, 0),
+                (1, block_kv, d), lambda hh, i, j, g=g: (hh // g, j, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -178,7 +180,7 @@ def flash_segment_attention(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (block_q, 1, d), lambda hh, i, j: (i, hh, 0), memory_space=pltpu.VMEM
+            (1, block_q, d), lambda hh, i, j: (hh, i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -190,6 +192,7 @@ def flash_segment_attention(
             bytes_accessed=(sq_p * h + 2 * skv_p * kvh) * d * 2 + sq_p * h * d * 2,
             transcendentals=sq_p * skv_p * h,
         ),
+        interpret=interpret,
     )(qp, kp, vp, qm, km)
 
-    return out[:s_q]
+    return jnp.swapaxes(out, 0, 1)[:s_q]

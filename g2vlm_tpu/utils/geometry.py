@@ -99,5 +99,9 @@ def depth_edge(
         (1, kernel_size, kernel_size, 1), (1, 1, 1, 1),
         [(0, 0), (pad, pad), (pad, pad), (0, 0)],
     )
-    edge = (mx - mn)[..., 0] > rtol * x[..., 0]
+    diff = (mx - mn)[..., 0]
+    # NB: the reference compares diff/depth (not diff vs rtol*depth), which
+    # flips the predicate for negative depths — keep identical semantics.
+    ratio = jnp.nan_to_num(diff / x[..., 0])  # nan->0, +-inf->dtype max/min
+    edge = ratio > rtol
     return edge.reshape(shape)
