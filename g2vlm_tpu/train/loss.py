@@ -34,6 +34,14 @@ INDOOR_DATASETS = {
 }
 
 
+def safe_norm(x, axis=-1):
+    """L2 norm with a NaN-free gradient at exactly-zero vectors (masked
+    entries are exact zeros; d|x|/dx would be 0/0 there)."""
+    sq = jnp.sum(x * x, axis=axis)
+    nz = sq > 0
+    return jnp.where(nz, jnp.sqrt(jnp.where(nz, sq, 1.0)), 0.0)
+
+
 def weighted_mean(x, w=None, axis=None, keepdims=False, eps=1e-7):
     if w is None:
         return jnp.mean(x, axis=axis, keepdims=keepdims)
@@ -51,7 +59,7 @@ def _smooth(err, beta: float):
 
 
 def angle_diff_vec3(v1, v2, eps=1e-12):
-    cross = jnp.linalg.norm(jnp.cross(v1, v2), axis=-1)
+    cross = safe_norm(jnp.cross(v1, v2), axis=-1)
     dot = jnp.sum(v1 * v2, axis=-1)
     return jnp.arctan2(cross + eps, dot)
 
@@ -257,7 +265,7 @@ def camera_loss(pred_poses, gt_poses, scale, alpha: float = 100.0):
 
     off_diag = ~jnp.eye(n, dtype=bool)
     m = off_diag[None, :, :].astype(jnp.float32)
-    cnt = b * n * (n - 1)
+    cnt = max(b * n * (n - 1), 1)  # n==1 has no pairs -> zero loss
 
     t_err = huber(pred_rel[..., :3, 3], gt_rel[..., :3, 3], delta=0.1)
     trans_loss = jnp.sum(t_err * m[..., None]) / (cnt * 3)
@@ -287,7 +295,7 @@ def prepare_gt(gt_raw: Dict) -> Dict:
     poses = jnp.einsum("bij,bnjk->bnik", w2c0, poses)
 
     mw = masks.astype(jnp.float32)
-    dist = jnp.linalg.norm(gt_pts * mw[..., None], axis=-1)
+    dist = safe_norm(gt_pts * mw[..., None], axis=-1)
     norm_factor = jnp.sum(dist, axis=(1, 2, 3)) / (
         jnp.sum(mw, axis=(1, 2, 3)) + 1e-8
     )
@@ -313,7 +321,7 @@ def normalize_pred(pred: Dict, masks: jax.Array) -> Dict:
     Pi3Loss.normalize_pred :315-337)."""
     local = pred["local_points"].astype(jnp.float32)
     mw = masks.astype(jnp.float32)
-    dist = jnp.linalg.norm(local * mw[..., None], axis=-1)
+    dist = safe_norm(local * mw[..., None], axis=-1)
     norm_factor = jnp.sum(dist, axis=(1, 2, 3)) / (
         jnp.sum(mw, axis=(1, 2, 3)) + 1e-8
     )
