@@ -148,10 +148,16 @@ def segment_attention(
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if impl == "auto":
+        import os
+
         on_tpu = jax.default_backend() == "tpu"
-        if on_tpu and q.shape[0] * k.shape[0] >= 512 * 512:
+        # NOTE: the tunneled axon TPU backend currently miscompiles/hangs on
+        # Pallas kernels (even trivial ones), so "auto" prefers the blockwise
+        # XLA path; set G2VLM_ATTN=pallas to opt in on real TPU hosts.
+        prefer_pallas = os.environ.get("G2VLM_ATTN", "") == "pallas"
+        if on_tpu and prefer_pallas and q.shape[0] * k.shape[0] >= 512 * 512:
             impl = "pallas"
-        elif q.shape[0] * k.shape[0] <= 4096 * 4096:
+        elif q.shape[0] * k.shape[0] <= 2048 * 2048:
             impl = "dense"
         else:
             impl = "chunked"

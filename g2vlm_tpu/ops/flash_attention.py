@@ -187,10 +187,8 @@ def flash_segment_attention(
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
-        cost_estimate=pl.CostEstimate(
-            flops=4 * sq_p * skv_p * d * h,
-            bytes_accessed=(sq_p * h + 2 * skv_p * kvh) * d * 2 + sq_p * h * d * 2,
-            transcendentals=sq_p * skv_p * h,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(qp, kp, vp, qm, km)
