@@ -1,0 +1,66 @@
+"""Camera metric parity vs reference metric.py / rotation_utils.py."""
+
+import numpy as np
+import jax.numpy as jnp
+import torch
+
+import torch_ref
+
+torch_ref.install()
+
+from g2vlm_tpu.models.pi3_heads import svd_orthogonalize
+from g2vlm_tpu.utils import metrics as jm
+
+
+def _rand_rots(rng, n):
+    return np.asarray(
+        svd_orthogonalize(jnp.asarray(rng.standard_normal((n, 9)).astype(np.float32)))
+    ).astype(np.float64)
+
+
+def test_matrix_to_quaternion_parity(rng):
+    from modeling.g2vlm.rotation_utils import matrix_to_quaternion as ref_m2q
+
+    rots = _rand_rots(rng, 8)
+    ref = ref_m2q(torch.from_numpy(rots)).numpy()
+    got = jm.matrix_to_quaternion(rots)
+    # quaternions are sign-ambiguous; compare up to sign
+    for a, b in zip(got, ref):
+        assert np.allclose(a, b, atol=1e-6) or np.allclose(a, -b, atol=1e-6)
+
+
+def test_rotation_translation_angle_parity(rng):
+    from modeling.g2vlm.metric import rotation_angle, translation_angle
+
+    ra = _rand_rots(rng, 6)
+    rb = _rand_rots(rng, 6)
+    ref_r = rotation_angle(torch.from_numpy(ra), torch.from_numpy(rb)).numpy()
+    got_r = jm.rotation_angle_deg(ra, rb)
+    np.testing.assert_allclose(got_r, ref_r, atol=1e-4, rtol=1e-4)
+
+    ta = rng.standard_normal((6, 3))
+    tb = rng.standard_normal((6, 3))
+    ref_t = translation_angle(torch.from_numpy(ta), torch.from_numpy(tb)).numpy()
+    got_t = jm.translation_angle_deg(ta, tb)
+    np.testing.assert_allclose(got_t, ref_t, atol=1e-4, rtol=1e-4)
+
+
+def test_auc_parity(rng):
+    from modeling.g2vlm.metric import calculate_auc_np
+
+    r = rng.random(50) * 40
+    t = rng.random(50) * 40
+    ref_auc, ref_hist = calculate_auc_np(r, t, max_threshold=30)
+    got_auc, got_hist = jm.calculate_auc(r, t, max_threshold=30)
+    np.testing.assert_allclose(got_auc, ref_auc, atol=1e-9)
+    np.testing.assert_allclose(got_hist, ref_hist, atol=1e-9)
+
+
+def test_camera_auc_perfect_prediction(rng):
+    rots = _rand_rots(rng, 5)
+    poses = np.tile(np.eye(4), (5, 1, 1))
+    poses[:, :3, :3] = rots
+    poses[:, :3, 3] = rng.standard_normal((5, 3))
+    out = jm.camera_auc(poses, poses)
+    for v in out.values():
+        assert v > 0.9  # perfect prediction => errors ~0 => AUC ~ 1
