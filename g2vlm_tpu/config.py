@@ -158,6 +158,7 @@ class G2VLMConfig:
     vit: VitConfig = field(default_factory=VitConfig)
     dino: DinoConfig = field(default_factory=DinoConfig)
     pi3: Pi3HeadConfig = field(default_factory=Pi3HeadConfig)
+    dinov3: Any = None  # models.dinov3.Dinov3Config when use_dinov3
 
     visual_und: bool = True
     visual_recon: bool = True

@@ -287,9 +287,18 @@ class SequenceBuilder:
 def encode_dino_to_llm(
     params: Dict, dino_images: jax.Array, cfg: G2VLMConfig, compute_dtype
 ) -> jax.Array:
-    """DINOv2 encode + dino2llm projection (reference g2vlm.py:968-1010).
-    dino_images (N, 3, H, W) RESNET-normalized -> (N*hw, D_llm)."""
-    tokens = dinov2.encode(params["dino"], dino_images, cfg.dino, compute_dtype)
+    """Geometry-encoder encode + dino2llm projection (reference
+    g2vlm.py:968-1010; DINOv3 alternative selected via use_dinov3,
+    g2vlm.py:380-394). dino_images (N, 3, H, W) RESNET-normalized ->
+    (N*hw, D_llm)."""
+    if cfg.use_dinov3:
+        from . import dinov3 as dinov3_mod
+
+        tokens = dinov3_mod.encode(
+            params["dino"], dino_images, cfg.dinov3, compute_dtype
+        )
+    else:
+        tokens = dinov2.encode(params["dino"], dino_images, cfg.dino, compute_dtype)
     n, hw, _ = tokens.shape
     proj = tokens.reshape(n * hw, -1).astype(compute_dtype) @ params["dino2llm"][
         "w"
