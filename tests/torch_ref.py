@@ -228,11 +228,60 @@ def fp32_casts():
         torch.Tensor.to = orig
 
 
+def _install_timm_stub():
+    if "timm" in sys.modules:
+        return
+    try:
+        import timm  # noqa: F401
+
+        return
+    except ImportError:
+        pass
+    import importlib.machinery
+
+    import torch
+    import torch.nn as nn
+
+    timm = types.ModuleType("timm")
+    timm.__spec__ = importlib.machinery.ModuleSpec("timm", None)
+    models = types.ModuleType("timm.models")
+    layers = types.ModuleType("timm.models.layers")
+
+    def to_2tuple(x):
+        return x if isinstance(x, tuple) else (x, x)
+
+    def trunc_normal_(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
+        with torch.no_grad():
+            return tensor.normal_(mean, std).clamp_(a * std, b * std)
+
+    class DropPath(nn.Module):
+        def __init__(self, drop_prob=None):
+            super().__init__()
+            self.drop_prob = drop_prob or 0.0
+
+        def forward(self, x):
+            if self.drop_prob == 0.0 or not self.training:
+                return x
+            keep = 1 - self.drop_prob
+            mask = torch.rand((x.shape[0],) + (1,) * (x.ndim - 1)) < keep
+            return x / keep * mask
+
+    layers.to_2tuple = to_2tuple
+    layers.trunc_normal_ = trunc_normal_
+    layers.DropPath = DropPath
+    models.layers = layers
+    timm.models = models
+    sys.modules["timm"] = timm
+    sys.modules["timm.models"] = models
+    sys.modules["timm.models.layers"] = layers
+
+
 def install():
     """Make the reference importable: `modeling.*`, `pi3.*`, `data.*`."""
     for p in (REF_ROOT, REF_ROOT + "/modeling"):
         if p not in sys.path:
             sys.path.insert(0, p)
+    _install_timm_stub()
     _install_flash_stub()
     _install_easydict_stub()
     _install_torchvision_stub()
