@@ -82,7 +82,11 @@ def _segment_attention_dense(q, k, v, q_info, kv_info, scale):
 
 
 def _segment_attention_chunked(q, k, v, q_info, kv_info, scale, kv_chunk):
-    """Online-softmax blockwise attention (flash-style in pure XLA)."""
+    """Online-softmax blockwise attention (flash-style in pure XLA).
+
+    Head-major (H, S, D) layout keeps every matmul MXU-shaped: logits are
+    (H, S_q, T) with T=kv_chunk lanes; KV heads are expanded per chunk only
+    (cheap broadcast, never materialized at full length)."""
     s_q, h, d = q.shape
     s_kv, kvh, _ = k.shape
     g = h // kvh
@@ -97,41 +101,43 @@ def _segment_attention_chunked(q, k, v, q_info, kv_info, scale, kv_chunk):
             jnp.pad(kv_info.noise_id, (0, pad), constant_values=-1),
             jnp.pad(kv_info.pos, (0, pad)),
         )
-    qg = _expand_gqa(q, kvh).astype(jnp.float32)
+    qh = jnp.swapaxes(q, 0, 1)  # (H, S_q, D)
 
     kc = k.reshape(n_chunks, kv_chunk, kvh, d)
     vc = v.reshape(n_chunks, kv_chunk, kvh, d)
     infoc = jax.tree.map(lambda f: f.reshape(n_chunks, kv_chunk), kv_info)
 
     def body(carry, xs):
-        m, l, acc = carry
+        m, l, acc = carry  # (H, S_q), (H, S_q), (H, S_q, D)
         kb, vb, ib = xs
+        # expand GQA heads for this chunk only: (T, KVH, D) -> (H, T, D)
+        kb = jnp.repeat(jnp.swapaxes(kb, 0, 1), g, axis=0)
+        vb = jnp.repeat(jnp.swapaxes(vb, 0, 1), g, axis=0)
         logits = (
             jnp.einsum(
-                "qngd,tnd->qngt", qg, kb.astype(jnp.float32),
-                preferred_element_type=jnp.float32,
+                "hqd,htd->hqt", qh, kb, preferred_element_type=jnp.float32
             )
             * scale
         )
         mask = make_segment_mask(q_info, TokenInfo(*ib))  # (S_q, T)
-        logits = jnp.where(mask[:, None, None, :], logits, _NEG_INF)
+        logits = jnp.where(mask[None], logits, _NEG_INF)
         m_new = jnp.maximum(m, jnp.max(logits, axis=-1))
         p = jnp.exp(logits - m_new[..., None])
-        p = jnp.where(mask[:, None, None, :], p, 0.0)
+        p = jnp.where(mask[None], p, 0.0)
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1)
         acc_new = acc * alpha[..., None] + jnp.einsum(
-            "qngt,tnd->qngd", p, vb.astype(jnp.float32),
+            "hqt,htd->hqd", p.astype(vb.dtype), vb,
             preferred_element_type=jnp.float32,
         )
         return (m_new, l_new, acc_new), None
 
-    m0 = jnp.full((s_q, kvh, g), _NEG_INF, jnp.float32)
-    l0 = jnp.zeros((s_q, kvh, g), jnp.float32)
-    acc0 = jnp.zeros((s_q, kvh, g, d), jnp.float32)
+    m0 = jnp.full((h, s_q), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((h, s_q), jnp.float32)
+    acc0 = jnp.zeros((h, s_q, d), jnp.float32)
     (m, l, acc), _ = jax.lax.scan(body, (m0, l0, acc0), (kc, vc, tuple(infoc)))
     out = acc / jnp.maximum(l, 1e-30)[..., None]
-    return out.reshape(s_q, h, d).astype(v.dtype)
+    return jnp.swapaxes(out, 0, 1).astype(v.dtype)
 
 
 def segment_attention(
