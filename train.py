@@ -1,0 +1,219 @@
+#!/usr/bin/env python
+"""Training entry point — the loop the reference never released (its train/
+holds only FSDP utilities, README.md:54). Joint CE + Pi3 3D training over a
+(dp, fsdp, tp) mesh with EMA, Orbax checkpointing, data_status resume, and
+profiler hooks.
+
+Usage (smoke, synthetic data):
+  python train.py --synthetic --steps 10 --tiny
+
+Real data:
+  python train.py --data_config data/configs/joint_train.yaml \
+      --checkpoint_dir ckpts --model_path /path/to/G2VLM-2B-MoT
+"""
+
+import argparse
+import os
+
+
+def parse_args():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data_config", type=str, default=None)
+    ap.add_argument("--model_path", type=str, default=None,
+                    help="init from reference checkpoint dir")
+    ap.add_argument("--bootstrap_moe", action="store_true",
+                    help="copy base-expert weights into geo experts "
+                         "(dense ckpt -> MoT, reference init_moe)")
+    ap.add_argument("--checkpoint_dir", type=str, default="ckpts")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--warmup", type=int, default=100)
+    ap.add_argument("--weight_decay", type=float, default=0.05)
+    ap.add_argument("--ema_decay", type=float, default=0.9999)
+    ap.add_argument("--ckpt_every", type=int, default=500)
+    ap.add_argument("--keep_ckpts", type=int, default=2)
+    ap.add_argument("--log_every", type=int, default=10)
+    ap.add_argument("--dp", type=int, default=1)
+    ap.add_argument("--tp", type=int, default=1)
+    ap.add_argument("--max_num_tokens", type=int, default=36864)
+    ap.add_argument("--tiny", action="store_true", help="tiny config (tests)")
+    ap.add_argument("--synthetic", action="store_true",
+                    help="synthetic data (no datasets needed)")
+    ap.add_argument("--profile_dir", type=str, default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    return ap.parse_args()
+
+
+def synthetic_batches(cfg, dp, seed=0):
+    """Endless synthetic TrainBatch stream (shapes as the packer emits)."""
+    import numpy as np
+
+    from g2vlm_tpu.models.g2vlm import SequenceBuilder
+    from g2vlm_tpu.train.trainer import TrainBatch
+
+    n, h, w = 2, 56, 56
+    p = cfg.dino_patch_size
+    hp = wp = h // p
+
+    def one(s):
+        rng = np.random.default_rng(s)
+        b = SequenceBuilder(11, 12)
+        b.add_text([7, 23, 45])
+        b.add_dino_images(n, hp, wp)
+        b.add_text(list(rng.integers(20, 400, 5)))
+        pre = b.build(pad_to=64)
+        ce_idx = np.asarray([pre.seq_len - 3, pre.seq_len - 2, pre.seq_len - 1])
+        return TrainBatch(
+            text_ids=pre.text_ids.astype(np.int32),
+            text_indexes=pre.text_indexes.astype(np.int32),
+            dino_indexes=pre.dino_indexes.astype(np.int32),
+            vit_indexes=np.zeros((0,), np.int32),
+            is_geo=pre.is_geo,
+            position_ids=pre.position_ids,
+            doc_id=pre.doc_id,
+            fn_id=pre.fn_id,
+            noise_id=pre.noise_id,
+            pos=pre.pos,
+            ce_indexes=ce_idx.astype(np.int32),
+            ce_labels=rng.integers(0, cfg.llm.vocab_size, 3).astype(np.int32),
+            ce_weights=np.ones(3, np.float32),
+            dino_images=rng.standard_normal((n, 3, h, w)).astype(np.float32),
+            world_points=rng.standard_normal((1, n, h, w, 3)).astype(np.float32),
+            point_masks=(rng.random((1, n, h, w)) < 0.9),
+            extrinsics=np.tile(np.eye(4, dtype=np.float32), (1, n, 1, 1)),
+            normal_batch_mask=np.ones((1,), bool),
+        )
+
+    import itertools
+    import jax
+
+    for step in itertools.count():
+        batches = [one(seed + step * dp + i) for i in range(dp)]
+        yield jax.tree.map(lambda *xs: np.stack(xs), *batches)
+
+
+def packer_batches(args, cfg, new_token_ids, tokenizer, data_status):
+    """Real data: YAML config -> dataset groups -> packer -> TrainBatch."""
+    import numpy as np
+
+    from g2vlm_tpu.data.packing import PackedIterableDataset, PackerConfig
+    from g2vlm_tpu.data.registry import build_groups_from_config, load_yaml_config
+    from g2vlm_tpu.train.trainer import TrainBatch
+
+    groups = build_groups_from_config(
+        load_yaml_config(args.data_config),
+        tokenizer=tokenizer,
+        data_status=data_status,
+    )
+    packed = PackedIterableDataset(
+        groups,
+        new_token_ids,
+        PackerConfig(max_num_tokens=args.max_num_tokens),
+    )
+    for b in iter(packed):
+        tb = TrainBatch(
+            text_ids=b["text_ids"], text_indexes=b["text_indexes"],
+            dino_indexes=b["dino_indexes"], vit_indexes=b["vit_indexes"],
+            is_geo=b["is_geo"], position_ids=b["position_ids"],
+            doc_id=b["doc_id"], fn_id=b["fn_id"], noise_id=b["noise_id"],
+            pos=b["pos"], ce_indexes=b["ce_indexes"], ce_labels=b["ce_labels"],
+            ce_weights=b["ce_weights"],
+            dino_images=b["dino_images"],
+            world_points=b["world_points"][None],
+            point_masks=b["point_masks"][None],
+            extrinsics=b["extrinsics"][None],
+            normal_batch_mask=np.ones((1,), bool),
+        )
+        yield __import__("jax").tree.map(lambda x: x[None], tb)  # dp axis
+
+
+def main():
+    args = parse_args()
+    import jax
+
+    # The axon TPU plugin force-overrides JAX_PLATFORMS; honor an explicit
+    # cpu request (virtual-mesh runs) by re-applying it.
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from g2vlm_tpu.config import G2VLMConfig, tiny_test_config
+    from g2vlm_tpu.models import g2vlm as jg
+    from g2vlm_tpu.parallel import mesh as meshlib
+    from g2vlm_tpu.train import trainer
+    from g2vlm_tpu.train.checkpoint import CheckpointManager
+    from g2vlm_tpu.train.logging import (
+        StepTimer, create_logger, format_metrics, maybe_profile,
+    )
+
+    logger = create_logger(args.checkpoint_dir)
+    cfg = tiny_test_config() if args.tiny else G2VLMConfig(visual_und=False)
+
+    n_dev = len(jax.devices())
+    fsdp = n_dev // (args.dp * args.tp)
+    mesh = meshlib.make_mesh(n_dev, dp=args.dp, fsdp=fsdp, tp=args.tp)
+    logger.info(f"mesh: dp={args.dp} fsdp={fsdp} tp={args.tp}")
+
+    tokenizer = new_token_ids = None
+    if args.model_path:
+        from g2vlm_tpu.weights import load_checkpoint, init_moe_from_dense
+        from g2vlm_tpu.data.tokenizer import load_tokenizer
+
+        params, cfg = load_checkpoint(args.model_path)
+        if args.bootstrap_moe:
+            params = init_moe_from_dense(params)
+        tokenizer, new_token_ids, _ = load_tokenizer(args.model_path)
+    else:
+        params = jg.init_params(cfg, jax.random.PRNGKey(args.seed), jnp.float32)
+    params, _ = meshlib.shard_params(params, mesh)
+
+    schedule = optax.warmup_cosine_decay_schedule(
+        0.0, args.lr, args.warmup, max(args.steps, args.warmup + 1)
+    )
+    optimizer = trainer.make_optimizer(
+        schedule=schedule, weight_decay=args.weight_decay
+    )
+    state = trainer.init_train_state(params, optimizer, ema=True)
+    mgr = CheckpointManager(args.checkpoint_dir, keep=args.keep_ckpts)
+    data_status = None
+    if args.resume and mgr.latest_step() is not None:
+        state, data_status = mgr.restore(state)
+        logger.info(f"resumed at step {int(state.step)}")
+
+    step_fn = jax.jit(
+        trainer.make_train_step(
+            cfg, optimizer,
+            compute_dtype=jnp.float32 if args.tiny else jnp.bfloat16,
+            ema_decay=args.ema_decay,
+        )
+    )
+
+    if args.synthetic:
+        batches = synthetic_batches(cfg, args.dp, args.seed)
+    else:
+        batches = packer_batches(args, cfg, new_token_ids, tokenizer, data_status)
+
+    timer = StepTimer()
+    with mesh:
+        for step, batch in enumerate(batches, start=int(state.step)):
+            if step >= args.steps:
+                break
+            with maybe_profile(args.profile_dir, step, 5, 3):
+                state, metrics = step_fn(state, batch)
+            if step % args.log_every == 0:
+                jax.block_until_ready(metrics)
+                dt = timer.tick()
+                logger.info(format_metrics(step, metrics, timer.avg_step_time))
+            if step > 0 and step % args.ckpt_every == 0:
+                mgr.save(step, state, data_status=None)
+                logger.info(f"checkpointed step {step}")
+    mgr.save(int(state.step), state)
+    mgr.wait()
+    logger.info("done")
+
+
+if __name__ == "__main__":
+    main()
