@@ -63,19 +63,21 @@ class G2VLMPipeline:
             ids = [self.new_token_ids["bos_token_id"]] + ids
         return ids
 
-    def _make_recon_fn(self, shape_key: Tuple[int, int, int, int]):
-        n, h, w, pad_to = shape_key
+    def _make_recon_fn(self, shape_key):
+        """One jitted recon program per (n_views, H, W, prompt). The prefill
+        metadata is host-built and closed over as compile-time constants so
+        expert routing (GEO_MAIN fixup) stays static."""
+        n, h, w, prompt = shape_key
         p = self.cfg.dino_patch_size
-        hp, wp = h // p, w // p
+        prefill = self.build_recon_prefill(n, h // p, w // p, prompt)
 
-        def fn(params, prefill_arrays, images):
-            prefill = jg.PackedPrefill(*prefill_arrays)
+        def fn(params, images):
             return jg.recon_forward(
                 params, prefill, images, self.cfg,
                 compute_dtype=self.compute_dtype, attn_impl=self.attn_impl,
             )
 
-        return jax.jit(fn, static_argnums=())
+        return jax.jit(fn)
 
     def build_recon_prefill(
         self, n_views: int, hp: int, wp: int, prompt: str = RECON_PROMPT
@@ -100,11 +102,9 @@ class G2VLMPipeline:
         (g2vlm.py:1240-1303) plus the original [0,1] images."""
         views = load_views(images, new_width=new_width)  # (N,3,H,W) in [0,1]
         n, _, h, w = views.shape
-        p = self.cfg.dino_patch_size
-        prefill = self.build_recon_prefill(n, h // p, w // p, prompt)
         normed = jnp.asarray(resnet_normalize(views))
-        fn = self._recon_jit((n, h, w, len(prefill.doc_id)))
-        out = fn(self.params, tuple(prefill), normed)
+        fn = self._recon_jit((n, h, w, prompt))
+        out = fn(self.params, normed)
         out = {k: np.asarray(v) for k, v in out.items()}
         out["images"] = views
         return out

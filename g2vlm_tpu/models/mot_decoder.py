@@ -39,9 +39,12 @@ from ..ops.norms import rms_norm
 from ..ops.rope import apply_mrope, mrope_cos_sin
 
 # expert_mode values
-UND_ONLY = "und"     # all tokens use the base ("und") expert
-GEO_ONLY = "geo"     # all tokens use the geometry expert
-MIXED = "mixed"      # route per-token by is_geo
+UND_ONLY = "und"      # all tokens use the base ("und") expert
+GEO_ONLY = "geo"      # all tokens use the geometry expert
+MIXED = "mixed"       # route per-token by is_geo (dual compute + select)
+GEO_MAIN = "geo_main" # geo expert everywhere + und fixup at und_fixup_idx
+                      # rows — 1x FLOPs for geo-dominant prefills (recon:
+                      # ~25k dino tokens vs ~10^2 text tokens)
 
 
 class LayerKV(NamedTuple):
@@ -75,6 +78,74 @@ def _mlp(x, p, dtype):
     return _lin(jax.nn.silu(g) * u, p["down"], dtype)
 
 
+def _geo_main_layer(
+    lp, x, und_idx, cos, sin, q_info, kv_info, past_kv, cfg, dt, attn_impl
+):
+    """MoT layer computing the geo expert for ALL rows and re-doing the few
+    und rows (gather -> und expert -> scatter). Exactly equivalent to MIXED
+    when und_idx covers all non-geo rows; und_idx may be padded with 0s as
+    long as row 0 is an und token (duplicate scatters write equal values)."""
+    nh, kvh, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    s = x.shape[0]
+    k_rows = und_idx.shape[0]
+    eps = cfg.rms_norm_eps
+
+    residual = x
+    h_geo = rms_norm(x, lp["ln_attn_geo"], eps)
+    q = _lin(h_geo, lp["q_geo"], dt)
+    k = _lin(h_geo, lp["k_geo"], dt)
+    v = _lin(h_geo, lp["v_geo"], dt)
+    x_u = x[und_idx]
+    h_u = rms_norm(x_u, lp["ln_attn"], eps)
+    qu = _lin(h_u, lp["q"], dt)
+    ku = _lin(h_u, lp["k"], dt)
+    vu = _lin(h_u, lp["v"], dt)
+
+    q = q.at[und_idx].set(qu).reshape(s, nh, hd)
+    k = k.at[und_idx].set(ku).reshape(s, kvh, hd)
+    v = v.at[und_idx].set(vu).reshape(s, kvh, hd)
+
+    if cfg.qk_norm:
+        q = rms_norm(q.astype(jnp.float32), lp["q_norm_geo"], eps)
+        k = rms_norm(k.astype(jnp.float32), lp["k_norm_geo"], eps)
+        qun = rms_norm(
+            qu.reshape(k_rows, nh, hd).astype(jnp.float32), lp["q_norm"], eps
+        )
+        kun = rms_norm(
+            ku.reshape(k_rows, kvh, hd).astype(jnp.float32), lp["k_norm"], eps
+        )
+        q = q.at[und_idx].set(qun)
+        k = k.at[und_idx].set(kun)
+
+    q, k = apply_mrope(q, k, cos, sin)
+    q = q.astype(dt)
+    k = k.astype(dt)
+    v = v.astype(dt)
+    new_kv = LayerKV(k, v)
+
+    if past_kv is not None:
+        k_all = jnp.concatenate([past_kv.k.astype(dt), k], axis=0)
+        v_all = jnp.concatenate([past_kv.v.astype(dt), v], axis=0)
+    else:
+        k_all, v_all = k, v
+    if kv_info is None:
+        kv_info = q_info
+
+    attn = segment_attention(q, k_all, v_all, q_info, kv_info, impl=attn_impl)
+    attn = attn.reshape(s, nh * hd)
+    out = _lin(attn, lp["o_geo"], dt) * lp["ls1"].astype(dt)
+    out = out.at[und_idx].set(_lin(attn[und_idx], lp["o"], dt))
+    x = residual + out
+
+    residual = x
+    m = _mlp(rms_norm(x, lp["ln_mlp_geo"], eps), lp["mlp_geo"], dt)
+    m = m * lp["ls2"].astype(dt)
+    x_u = x[und_idx]
+    mu = _mlp(rms_norm(x_u, lp["ln_mlp"], eps), lp["mlp"], dt)
+    m = m.at[und_idx].set(mu)
+    return residual + m, new_kv
+
+
 def mot_layer_forward(
     lp: Dict,
     x: jax.Array,  # (S, D)
@@ -88,6 +159,7 @@ def mot_layer_forward(
     expert_mode: str,
     compute_dtype,
     attn_impl: str = "auto",
+    und_fixup_idx: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, LayerKV]:
     """One MoT decoder layer over packed tokens. Returns (hidden, new_kv).
 
@@ -99,6 +171,13 @@ def mot_layer_forward(
     variant = cfg.layer_module  # "mot" | "dense" | "moe"
     has_expert_attn = variant == "mot"
     dt = compute_dtype
+
+    if expert_mode == GEO_MAIN:
+        assert variant == "mot" and und_fixup_idx is not None
+        return _geo_main_layer(
+            lp, x, und_fixup_idx, cos, sin, q_info, kv_info, past_kv, cfg, dt,
+            attn_impl,
+        )
 
     residual = x
 
@@ -229,6 +308,7 @@ def decoder_forward(
     compute_dtype=jnp.float32,
     attn_impl: str = "auto",
     final_norm: bool = True,
+    und_fixup_idx: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Dict]:
     """Run all layers. Returns (hidden (S, D) after final norm, new_kv stacked
     {"k": (L, S, KVH, HD), "v": ...}).
@@ -258,6 +338,7 @@ def decoder_forward(
             expert_mode,
             compute_dtype,
             attn_impl,
+            und_fixup_idx=und_fixup_idx,
         )
         return h, new_kv
 
@@ -276,6 +357,10 @@ def decoder_forward(
                 h = rms_norm(h, params["norm"], cfg.rms_norm_eps)
             elif expert_mode == GEO_ONLY:
                 h = rms_norm(h, params["norm_geo"], cfg.rms_norm_eps)
+            elif expert_mode == GEO_MAIN:
+                hu = rms_norm(h[und_fixup_idx], params["norm"], cfg.rms_norm_eps)
+                h = rms_norm(h, params["norm_geo"], cfg.rms_norm_eps)
+                h = h.at[und_fixup_idx].set(hu)
             else:
                 h = jnp.where(
                     is_geo[:, None],

@@ -308,3 +308,33 @@ def test_decode_step_parity(rng, models):
     )
     logits = md.lm_head(params, h1)
     np.testing.assert_allclose(np.asarray(logits), ref_logits, atol=1e-5, rtol=1e-4)
+
+
+def test_geo_main_matches_mixed(rng, models):
+    """GEO_MAIN (geo-everywhere + und fixup) must equal MIXED exactly."""
+    ref, params = models
+    S = 24
+    x = rng.standard_normal((S, CFG.hidden_size)).astype(np.float32)
+    pos = rand_pos_ids(rng, S)
+    is_geo = np.ones(S, bool)
+    und_rows = np.array([0, 5, 13])
+    is_geo[und_rows] = False
+    info = full_info(S)
+
+    mixed, kv_m = md.decoder_forward(
+        params, jnp.asarray(x), jnp.asarray(is_geo), jnp.asarray(pos),
+        q_info=info, kv_info=None, past_kv=None, cfg=CFG,
+        expert_mode=md.MIXED,
+    )
+    und_idx = jnp.asarray(np.pad(und_rows, (0, 5)))  # padded with 0s
+    geo_main, kv_g = md.decoder_forward(
+        params, jnp.asarray(x), jnp.asarray(is_geo), jnp.asarray(pos),
+        q_info=info, kv_info=None, past_kv=None, cfg=CFG,
+        expert_mode=md.GEO_MAIN, und_fixup_idx=und_idx,
+    )
+    np.testing.assert_allclose(
+        np.asarray(geo_main), np.asarray(mixed), atol=2e-5, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(kv_g["k"]), np.asarray(kv_m["k"]), atol=2e-5, rtol=1e-4
+    )
