@@ -1,0 +1,42 @@
+"""Native C++ data-path kernels vs their Python fallbacks."""
+
+import numpy as np
+import pytest
+
+from g2vlm_tpu import csrc
+from g2vlm_tpu.data.recon_dataset import depth_to_world_points
+
+
+@pytest.fixture(scope="module")
+def lib():
+    lib = csrc.get_lib()
+    if lib is None:
+        pytest.skip("no C++ toolchain")
+    return lib
+
+
+def test_depth_unproject_native(lib, rng):
+    depth = (rng.random((37, 42)) * 3).astype(np.float32)
+    depth[0, 0] = 0.0
+    intr = np.array([[100.0, 0, 21], [0, 90.0, 18], [0, 0, 1]], np.float32)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 3] = [0.2, -0.1, 0.4]
+    pts, valid = csrc.depth_unproject(depth, intr, c2w)
+    ref_pts, ref_valid = depth_to_world_points(depth, intr, c2w)
+    np.testing.assert_allclose(pts, ref_pts, atol=1e-4, rtol=1e-5)
+    np.testing.assert_array_equal(valid, ref_valid)
+
+
+def test_resize_bilinear_native(lib, rng):
+    import torch
+
+    src = rng.random((30, 44)).astype(np.float32)
+    out = csrc.resize_bilinear(src, (17, 23))
+    ref = (
+        torch.nn.functional.interpolate(
+            torch.from_numpy(src)[None, None], (17, 23),
+            mode="bilinear", align_corners=False,
+        )
+        .numpy()[0, 0]
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
