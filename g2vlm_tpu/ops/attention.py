@@ -107,18 +107,22 @@ def _segment_attention_chunked(q, k, v, q_info, kv_info, scale, kv_chunk):
     vc = v.reshape(n_chunks, kv_chunk, kvh, d)
     infoc = jax.tree.map(lambda f: f.reshape(n_chunks, kv_chunk), kv_info)
 
+    # Materialized-logits dtype: bf16 inputs store bf16 score tiles (the MXU
+    # accumulates fp32 internally either way; softmax statistics stay fp32).
+    # This halves the dominant HBM traffic of the XLA flash formulation —
+    # same precision class as the reference's bf16 flash-attn.
+    logits_dtype = jnp.float32 if q.dtype == jnp.float32 else jnp.bfloat16
+
     def body(carry, xs):
         m, l, acc = carry  # (H, S_q), (H, S_q), (H, S_q, D)
         kb, vb, ib = xs
         # expand GQA heads for this chunk only: (T, KVH, D) -> (H, T, D)
         kb = jnp.repeat(jnp.swapaxes(kb, 0, 1), g, axis=0)
         vb = jnp.repeat(jnp.swapaxes(vb, 0, 1), g, axis=0)
-        logits = (
-            jnp.einsum(
-                "hqd,htd->hqt", qh, kb, preferred_element_type=jnp.float32
-            )
-            * scale
+        logits = jnp.einsum(
+            "hqd,htd->hqt", qh, kb, preferred_element_type=logits_dtype
         )
+        logits = logits.astype(jnp.float32) * scale
         mask = make_segment_mask(q_info, TokenInfo(*ib))  # (S_q, T)
         logits = jnp.where(mask[None], logits, _NEG_INF)
         m_new = jnp.maximum(m, jnp.max(logits, axis=-1))
