@@ -107,11 +107,16 @@ def _segment_attention_chunked(q, k, v, q_info, kv_info, scale, kv_chunk):
     vc = v.reshape(n_chunks, kv_chunk, kvh, d)
     infoc = jax.tree.map(lambda f: f.reshape(n_chunks, kv_chunk), kv_info)
 
-    # Materialized-logits dtype: bf16 inputs store bf16 score tiles (the MXU
-    # accumulates fp32 internally either way; softmax statistics stay fp32).
-    # This halves the dominant HBM traffic of the XLA flash formulation —
-    # same precision class as the reference's bf16 flash-attn.
-    logits_dtype = jnp.float32 if q.dtype == jnp.float32 else jnp.bfloat16
+    # Materialized-logits dtype: bf16 score tiles would halve the dominant
+    # HBM traffic of the XLA flash formulation (softmax statistics stay
+    # fp32), but the tunneled axon compiler stalls on that pattern — opt in
+    # with G2VLM_BF16_LOGITS=1 on real TPU hosts.
+    import os
+
+    use_bf16 = os.environ.get("G2VLM_BF16_LOGITS", "0") == "1"
+    logits_dtype = (
+        jnp.bfloat16 if (use_bf16 and q.dtype != jnp.float32) else jnp.float32
+    )
 
     def body(carry, xs):
         m, l, acc = carry  # (H, S_q), (H, S_q), (H, S_q, D)
