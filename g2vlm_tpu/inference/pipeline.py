@@ -27,6 +27,25 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+class _HashableArrays:
+    """Wraps host-built metadata so it can key an lru_cache by content."""
+
+    def __init__(self, payload):
+        self.payload = payload
+        leaves = jax.tree_util.tree_leaves(payload)
+        self._hash = hash(
+            tuple(
+                x.tobytes() if isinstance(x, np.ndarray) else x for x in leaves
+            )
+        )
+
+    def __hash__(self):
+        return self._hash
+
+    def __eq__(self, other):
+        return isinstance(other, _HashableArrays) and self._hash == other._hash
+
+
 class G2VLMPipeline:
     """Owns params + config + jit caches for recon / chat."""
 
@@ -51,6 +70,9 @@ class G2VLMPipeline:
         self.attn_impl = attn_impl
         self.seq_pad_multiple = seq_pad_multiple
         self._recon_jit = functools.lru_cache(maxsize=16)(self._make_recon_fn)
+        self._chat_prefill_jit = functools.lru_cache(maxsize=8)(
+            self._make_chat_prefill_fn
+        )
 
     # ------------------------------------------------------------------
     def _encode_text(self, text: str, add_bos: bool = False) -> List[int]:
@@ -75,6 +97,24 @@ class G2VLMPipeline:
             return jg.recon_forward(
                 params, prefill, images, self.cfg,
                 compute_dtype=self.compute_dtype, attn_impl=self.attn_impl,
+            )
+
+        return jax.jit(fn)
+
+    def _make_chat_prefill_fn(self, key: "_HashableArrays"):
+        prefill, vit_grid = key.payload
+
+        def fn(params, dino_images, vit_patches):
+            return jg.prefill_hidden(
+                params,
+                prefill,
+                dino_images,
+                self.cfg,
+                compute_dtype=self.compute_dtype,
+                attn_impl=self.attn_impl,
+                vit_patches=vit_patches,
+                vit_grid_hw=vit_grid,
+                return_kv=True,
             )
 
         return jax.jit(fn)
@@ -170,20 +210,8 @@ class G2VLMPipeline:
         ]
 
         normed = jnp.asarray(resnet_normalize(views))
-        hidden, kv = jax.jit(
-            lambda pr, di, vp: jg.prefill_hidden(
-                self.params,
-                jg.PackedPrefill(*pr),
-                di,
-                self.cfg,
-                compute_dtype=self.compute_dtype,
-                attn_impl=self.attn_impl,
-                vit_patches=vp,
-                vit_grid_hw=vit_grid,
-                return_kv=True,
-            ),
-            static_argnums=(),
-        )(tuple(prefill), normed, jnp.asarray(vit_patches))
+        fn = self._chat_prefill_jit(_HashableArrays((prefill, vit_grid)))
+        hidden, kv = fn(self.params, normed, jnp.asarray(vit_patches))
 
         capacity = max(
             _round_up(prefill.seq_len + max_new_tokens + 8, 128),
