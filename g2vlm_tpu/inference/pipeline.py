@@ -141,19 +141,20 @@ class G2VLMPipeline:
         global_points[, conf]) as numpy, mirroring G2VLM.recon
         (g2vlm.py:1240-1303) plus the original [0,1] images."""
         views = load_views(images, new_width=new_width)  # (N,3,H,W) in [0,1]
-        return self.recon_from_views(views, prompt=prompt)
-
-    def recon_from_views(
-        self, views: np.ndarray, prompt: str = RECON_PROMPT
-    ) -> Dict[str, np.ndarray]:
-        """Device-side recon on preloaded [0,1] views (N,3,H,W)."""
-        n, _, h, w = views.shape
-        normed = jnp.asarray(resnet_normalize(views))
-        fn = self._recon_jit((n, h, w, prompt))
-        out = fn(self.params, normed)
+        out = self.recon_from_views(views, prompt=prompt)
         out = {k: np.asarray(v) for k, v in out.items()}
         out["images"] = views
         return out
+
+    def recon_from_views(
+        self, views: np.ndarray, prompt: str = RECON_PROMPT
+    ) -> Dict[str, jax.Array]:
+        """Device-side recon on preloaded [0,1] views (N,3,H,W). Outputs stay
+        on device (fetch with np.asarray when needed)."""
+        n, _, h, w = views.shape
+        normed = jnp.asarray(resnet_normalize(views))
+        fn = self._recon_jit((n, h, w, prompt))
+        return fn(self.params, normed)
 
     # ------------------------------------------------------------------
     # chat with reconstruction in-context (reference G2VLM.chat_with_recon,
