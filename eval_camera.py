@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Camera-pose AUC evaluation harness — the eval the reference exposes as
+metric functions but never wires up (modeling/g2vlm/metric.py:107-219).
+
+Runs multi-view reconstruction on annotated scenes (same JSONL format as
+JsonlReconDataset) and reports relative-pose AUC@{3,5,10,20,30} of the
+predicted cameras against GT.
+
+  python eval_camera.py --jsonl scenes.jsonl --model_path ... --num_views 8
+"""
+
+import argparse
+import json
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--jsonl", type=str, required=True)
+    ap.add_argument("--model_path", type=str, default=None)
+    ap.add_argument("--num_views", type=int, default=8)
+    ap.add_argument("--max_scenes", type=int, default=0)
+    ap.add_argument("--dtype", type=str, default="bfloat16",
+                    choices=["bfloat16", "float32"])
+    args = ap.parse_args()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from g2vlm_tpu.config import G2VLMConfig
+    from g2vlm_tpu.inference.pipeline import G2VLMPipeline
+    from g2vlm_tpu.models import g2vlm as jg
+    from g2vlm_tpu.utils.metrics import calculate_auc, camera_to_rel_deg
+    from g2vlm_tpu.utils.metrics import se3_inverse_np
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    tokenizer = new_token_ids = None
+    if args.model_path:
+        from g2vlm_tpu.weights import load_checkpoint
+        from g2vlm_tpu.data.tokenizer import load_tokenizer
+
+        params, cfg = load_checkpoint(args.model_path)
+        tokenizer, new_token_ids, _ = load_tokenizer(args.model_path)
+    else:
+        print("no --model_path: random weights (harness smoke mode)")
+        cfg = G2VLMConfig(visual_und=False)
+        params = jg.init_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
+    pipe = G2VLMPipeline(
+        params, cfg, tokenizer=tokenizer, new_token_ids=new_token_ids,
+        compute_dtype=dtype,
+    )
+
+    all_r, all_t = [], []
+    n_scenes = 0
+    with open(args.jsonl) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            item = json.loads(line)
+            frames = item["frames"][: args.num_views]
+            if len(frames) < 2:
+                continue
+            out = pipe.recon([fr["image"] for fr in frames])
+            # predicted poses are cam->frame0; compare relative pose errors
+            pred_c2w = np.asarray(out["camera_poses"], np.float64)
+            gt_c2w = np.asarray(
+                [fr["extrinsics"] for fr in frames], np.float64
+            )
+            r_deg, t_deg = camera_to_rel_deg(
+                se3_inverse_np(pred_c2w), se3_inverse_np(gt_c2w)
+            )
+            all_r.append(r_deg)
+            all_t.append(t_deg)
+            n_scenes += 1
+            if args.max_scenes and n_scenes >= args.max_scenes:
+                break
+
+    r = np.concatenate(all_r)
+    t = np.concatenate(all_t)
+    print(f"scenes={n_scenes} pairs={len(r)}")
+    for th in (3, 5, 10, 20, 30):
+        auc, _ = calculate_auc(r, t, th)
+        print(f"AUC@{th}: {auc:.4f}")
+
+
+if __name__ == "__main__":
+    main()

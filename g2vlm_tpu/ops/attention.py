@@ -157,7 +157,7 @@ def segment_attention(
     kv_info: TokenInfo,
     scale: Optional[float] = None,
     impl: str = "auto",
-    kv_chunk: int = 512,
+    kv_chunk: int = 2048,
 ) -> jax.Array:
     """Packed segment-masked GQA attention. Returns (S_q, num_heads, head_dim)."""
     if scale is None:

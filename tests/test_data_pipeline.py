@@ -193,3 +193,31 @@ def test_len2weight():
     assert len2weight(4, "square") == 0.5
     assert len2weight(4, "token") == 1
     assert len2weight(4, "sample") == 0.25
+
+
+def test_prefetch_loader(scene_jsonl):
+    from g2vlm_tpu.train.dataloader import PrefetchLoader
+
+    def make_iter(worker_id):
+        ds = _make_group(scene_jsonl)
+        ds.worker_id = worker_id
+        return iter(ds)
+
+    loader = PrefetchLoader(make_iter, num_workers=2, prefetch=2)
+    it = iter(loader)
+    samples = [next(it) for _ in range(4)]
+    assert all(s["num_tokens"] > 0 for s in samples)
+    loader.close()
+
+
+def test_prefetch_loader_propagates_errors():
+    from g2vlm_tpu.train.dataloader import PrefetchLoader
+
+    def make_iter(worker_id):
+        raise RuntimeError("boom")
+        yield  # pragma: no cover
+
+    loader = PrefetchLoader(make_iter, num_workers=1)
+    with pytest.raises(RuntimeError, match="boom"):
+        next(iter(loader))
+    loader.close()
