@@ -309,6 +309,7 @@ def decoder_forward(
     attn_impl: str = "auto",
     final_norm: bool = True,
     und_fixup_idx: Optional[jax.Array] = None,
+    remat: bool = False,
 ) -> Tuple[jax.Array, Dict]:
     """Run all layers. Returns (hidden (S, D) after final norm, new_kv stacked
     {"k": (L, S, KVH, HD), "v": ...}).
@@ -343,12 +344,19 @@ def decoder_forward(
         return h, new_kv
 
     if past_kv is None:
-        h, kvs = jax.lax.scan(
-            lambda c, lp: body(c, (lp, None)), x.astype(compute_dtype), layers
-        )
+        step = lambda c, lp: body(c, (lp, None))
+        if remat:
+            # trade recompute for activation memory across the 28-layer scan
+            # (the reference's apply_activation_checkpointing equivalent,
+            # train/fsdp_utils.py:533-547)
+            step = jax.checkpoint(step, prevent_cse=False)
+        h, kvs = jax.lax.scan(step, x.astype(compute_dtype), layers)
     else:
+        step = body
+        if remat:
+            step = jax.checkpoint(step, prevent_cse=False)
         h, kvs = jax.lax.scan(
-            body, x.astype(compute_dtype), (layers, LayerKV(past_kv["k"], past_kv["v"]))
+            step, x.astype(compute_dtype), (layers, LayerKV(past_kv["k"], past_kv["v"]))
         )
 
     if final_norm:

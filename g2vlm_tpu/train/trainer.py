@@ -64,6 +64,7 @@ def train_forward(
     attn_impl: str = "chunked",
     ce_weight: float = 1.0,
     recon_weight: float = 1.0,
+    remat: bool = True,
 ) -> Tuple[jax.Array, Dict]:
     """One packed sample -> scalar loss + details."""
     d = cfg.llm.hidden_size
@@ -92,6 +93,7 @@ def train_forward(
         expert_mode=mot_decoder.MIXED,
         compute_dtype=compute_dtype,
         attn_impl=attn_impl,
+        remat=remat,
     )
 
     details: Dict[str, jax.Array] = {}
@@ -173,6 +175,7 @@ def make_train_step(
     attn_impl: str = "chunked",
     ema_decay: float = 0.9999,
     donate: bool = True,
+    remat: bool = True,
 ):
     """Returns train_step(state, batch) -> (state, metrics). `batch` carries a
     leading dp-batch axis; the loss is the mean over it."""
@@ -180,7 +183,8 @@ def make_train_step(
     def loss_fn(params, batch):
         def one(b):
             return train_forward(
-                params, b, cfg, compute_dtype=compute_dtype, attn_impl=attn_impl
+                params, b, cfg, compute_dtype=compute_dtype,
+                attn_impl=attn_impl, remat=remat,
             )
 
         total, details = jax.vmap(one)(batch)
