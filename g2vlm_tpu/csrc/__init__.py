@@ -51,8 +51,87 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib.resize_bilinear_f32.argtypes = [
                 p(ctypes.c_float), i64, i64, p(ctypes.c_float), i64, i64,
             ]
+            i32p = p(ctypes.c_int32)
+            i64p = p(ctypes.c_int64)
+            u8p = p(ctypes.c_uint8)
+            lib.build_sequence_metadata.restype = ctypes.c_int64
+            lib.build_sequence_metadata.argtypes = [
+                i32p, i64,                       # segs, n_segs
+                ctypes.c_int32, ctypes.c_int32,  # doc, rope_start
+                i64,                             # curr_start
+                ctypes.c_int32, ctypes.c_int32,  # fn_start, dino_fn
+                ctypes.c_int32, ctypes.c_int32,  # soi, eoi
+                i32p, i32p, i32p, i32p,          # doc/fn/noise/pos
+                i64p,                            # position_ids (3, S)
+                u8p,                             # is_geo
+                i32p, i64p, i64p,                # text_ids/indexes/n_text
+                i64p, i64p,                      # dino_indexes/n_dino
+                i64p, i64p,                      # vit_indexes/n_vit
+                i64,                             # stride
+            ]
             _lib = lib
     return _lib
+
+
+def build_sequence_metadata(
+    segs: np.ndarray,  # (n_segs, 4) int32 rows: [type, a, b, c]
+    total_len: int,
+    doc: int = 0,
+    rope_start: int = 0,
+    curr_start: int = 0,
+    fn_start: int = 1,
+    dino_fn: int = 0,
+    soi: int = 151652,
+    eoi: int = 151653,
+):
+    """One-pass packed-sequence metadata (native). Returns a dict of the same
+    arrays models/g2vlm.SequenceBuilder produces; text slots belonging to
+    caller token ids are marked -1 in text_ids."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native datapath library unavailable")
+    segs = np.ascontiguousarray(segs, np.int32)
+    s = total_len
+    doc_id = np.full(s, -1, np.int32)
+    fn_id = np.full(s, -1, np.int32)
+    noise_id = np.full(s, -1, np.int32)
+    pos_meta = np.zeros(s, np.int32)
+    position_ids = np.zeros((3, s), np.int64)
+    is_geo = np.zeros(s, np.uint8)
+    cap = s
+    text_ids = np.zeros(cap, np.int32)
+    text_indexes = np.zeros(cap, np.int64)
+    dino_indexes = np.zeros(cap, np.int64)
+    vit_indexes = np.zeros(cap, np.int64)
+    n_text = np.zeros(1, np.int64)
+    n_dino = np.zeros(1, np.int64)
+    n_vit = np.zeros(1, np.int64)
+
+    def ip32(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+    def ip64(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+    ret = lib.build_sequence_metadata(
+        ip32(segs), len(segs), doc, rope_start, curr_start, fn_start, dino_fn,
+        soi, eoi,
+        ip32(doc_id), ip32(fn_id), ip32(noise_id), ip32(pos_meta),
+        ip64(position_ids),
+        is_geo.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ip32(text_ids), ip64(text_indexes), ip64(n_text),
+        ip64(dino_indexes), ip64(n_dino),
+        ip64(vit_indexes), ip64(n_vit),
+        s,
+    )
+    nt, nd, nv = int(n_text[0]), int(n_dino[0]), int(n_vit[0])
+    return dict(
+        doc_id=doc_id, fn_id=fn_id, noise_id=noise_id, pos=pos_meta,
+        position_ids=position_ids, is_geo=is_geo.astype(bool),
+        text_ids=text_ids[:nt], text_indexes=text_indexes[:nt],
+        dino_indexes=dino_indexes[:nd], vit_indexes=vit_indexes[:nv],
+        seq_len=int(ret & 0xFFFFFFFF), next_rope_pos=int(ret >> 32),
+    )
 
 
 def _fptr(a: np.ndarray):

@@ -72,9 +72,9 @@ int64_t build_sequence_metadata(
     for (int64_t s = 0; s < n_segs; ++s) {
         const Seg& g = *reinterpret_cast<const Seg*>(segs + 4 * s);
         if (g.type == 0) {
-            // caller appends the token *ids* itself; here we only lay out
-            // indices for `a` tokens
+            // token ids are filled by the caller (slots marked -1)
             for (int32_t i = 0; i < g.a; ++i) {
+                text_ids[nt] = -1;
                 text_indexes[nt] = curr;
                 ++nt;
                 emit(1, -1, false);

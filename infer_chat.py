@@ -13,7 +13,11 @@ import argparse
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--image", type=str, nargs="+", required=True)
+    ap.add_argument("--image", type=str, nargs="+", default=None)
+    ap.add_argument("--video", type=str, default=None,
+                    help="video file or frame dir (navigation-style demo, "
+                         "mirrors inference_chat.ipynb)")
+    ap.add_argument("--num_frames", type=int, default=8)
     ap.add_argument(
         "--question",
         type=str,
@@ -55,8 +59,15 @@ def main():
         params, cfg, tokenizer=tokenizer, new_token_ids=new_token_ids,
         compute_dtype=dtype,
     )
+    if args.video:
+        from g2vlm_tpu.data.video import sample_video_frames
+
+        inputs = sample_video_frames(args.video, args.num_frames)
+    else:
+        assert args.image, "--image or --video required"
+        inputs = args.image
     answer = pipe.chat(
-        args.image,
+        inputs,
         args.question,
         max_new_tokens=args.max_length,
         do_sample=args.do_sample,

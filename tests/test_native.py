@@ -40,3 +40,37 @@ def test_resize_bilinear_native(lib, rng):
         .numpy()[0, 0]
     )
     np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_build_sequence_metadata_matches_python(lib):
+    """Native metadata builder == models/g2vlm.SequenceBuilder for a recon-
+    style layout (text + 2 dino views)."""
+    from g2vlm_tpu import csrc
+    from g2vlm_tpu.models.g2vlm import SequenceBuilder
+
+    soi, eoi = 11, 12
+    prompt = [7, 23, 45]
+    b = SequenceBuilder(soi, eoi)
+    b.add_text(prompt)
+    b.add_dino_images(2, 4, 3)
+    py = b.build(pad_to=64)
+
+    segs = np.asarray(
+        [[0, len(prompt), 0, 0], [1, 4, 3, 0], [1, 4, 3, 0]], np.int32
+    )
+    nat = csrc.build_sequence_metadata(
+        segs, 64, dino_fn=0, fn_start=1, soi=soi, eoi=eoi
+    )
+    np.testing.assert_array_equal(nat["doc_id"], py.doc_id)
+    np.testing.assert_array_equal(nat["fn_id"], py.fn_id)
+    np.testing.assert_array_equal(nat["pos"], py.pos)
+    np.testing.assert_array_equal(nat["position_ids"], py.position_ids)
+    np.testing.assert_array_equal(nat["is_geo"], py.is_geo)
+    np.testing.assert_array_equal(nat["dino_indexes"], py.dino_indexes)
+    np.testing.assert_array_equal(nat["text_indexes"], py.text_indexes)
+    # fill caller slots and compare ids
+    ids = nat["text_ids"].copy()
+    ids[ids == -1] = prompt
+    np.testing.assert_array_equal(ids, py.text_ids)
+    assert nat["seq_len"] == py.seq_len
+    assert nat["next_rope_pos"] == py.next_rope_pos
