@@ -1,0 +1,22 @@
+"""Persistent XLA compilation cache — first compiles through the tunneled TPU
+backend take minutes; cached executables make reruns (and the driver bench)
+start fast."""
+
+from __future__ import annotations
+
+import os
+
+
+def enable(cache_dir: str | None = None) -> None:
+    import jax
+
+    cache_dir = cache_dir or os.environ.get(
+        "G2VLM_JAX_CACHE", os.path.expanduser("~/.cache/g2vlm_jax")
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # older jax versions: silently skip

@@ -26,6 +26,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from g2vlm_tpu.utils.jax_cache import enable as enable_jax_cache
+
+    enable_jax_cache()
+
     from g2vlm_tpu.config import G2VLMConfig
     from g2vlm_tpu.inference.pipeline import G2VLMPipeline
     from g2vlm_tpu.models import g2vlm as jg

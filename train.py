@@ -136,6 +136,9 @@ def main():
     # cpu request (virtual-mesh runs) by re-applying it.
     if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
         jax.config.update("jax_platforms", "cpu")
+    from g2vlm_tpu.utils.jax_cache import enable as enable_jax_cache
+
+    enable_jax_cache()
     import jax.numpy as jnp
     import numpy as np
     import optax
