@@ -79,9 +79,18 @@ class JsonlReconDataset(DistributedIterable):
         shuffle_views: bool = True,
         allow_retry_times: int = 50,
         prompt_ids: Optional[List[int]] = None,
+        invalid_list_path: Optional[str] = None,
         **dist_kwargs,
     ):
         super().__init__(dataset_name, **dist_kwargs)
+        # frame blacklist (reference scannet_recon_invalid_list.json,
+        # recon_dataset.py:167-169): json list of image paths/view infos
+        self.invalid_frames = set()
+        if invalid_list_path:
+            import json as _json
+
+            with open(invalid_list_path) as f:
+                self.invalid_frames = set(_json.load(f))
         self.jsonl_paths = list(jsonl_paths)
         self.tokenizer = tokenizer
         self.img_size = img_size
@@ -166,6 +175,11 @@ class JsonlReconDataset(DistributedIterable):
                     n_views = self.random_image_num or self.frame_num
                     target_hw = self.get_target_shape(self.random_aspect_ratio)
                     h_t, w_t = int(target_hw[0]), int(target_hw[1])
+                    if self.invalid_frames:
+                        frames = [
+                            f for f in frames
+                            if f["image"] not in self.invalid_frames
+                        ]
                     extr_all = [np.asarray(f["extrinsics"], np.float32) for f in frames]
                     ids = self._sample_frame_ids(len(frames), n_views, extr_all)
                     if self.shuffle_views:
