@@ -338,3 +338,47 @@ def test_geo_main_matches_mixed(rng, models):
     np.testing.assert_allclose(
         np.asarray(kv_g["k"]), np.asarray(kv_m["k"]), atol=2e-5, rtol=1e-4
     )
+
+
+def test_layer_variant_consistency(rng, models):
+    """Dense/MoE-FFN layer variants (reference qwen2vl.py:667-748, 913-1012).
+
+    NB: the reference's OWN dense/MoE inference paths crash upstream —
+    PackedAttention.forward_inference applies mRoPE without the (S,H,D) ->
+    (H,S,D) transpose the MoT path does (qwen2vl.py:363-373 vs :572-609), so
+    golden comparison is impossible; only the shipped MoT path runs. We check
+    internal consistency instead: with geo experts tied to the base expert
+    and layer scales neutralized, MoT == MoE == dense must hold exactly.
+    """
+    import dataclasses
+
+    _, params = models
+    # tie geo expert weights to the base expert; neutralize layer scales
+    from g2vlm_tpu.weights import init_moe_from_dense
+
+    tied = init_moe_from_dense({"llm": params})["llm"]
+    layers = dict(tied["layers"])
+    layers["ls1"] = jnp.ones_like(layers["ls1"])
+    layers["ls2"] = jnp.ones_like(layers["ls2"])
+    tied = dict(tied, layers=layers)
+
+    S = 18
+    x = rng.standard_normal((S, CFG.hidden_size)).astype(np.float32)
+    pos = rand_pos_ids(rng, S)
+    is_geo = rng.random(S) < 0.5
+    info = full_info(S)
+
+    def run(cfg_variant, expert_mode, p):
+        cfg = dataclasses.replace(CFG, layer_module=cfg_variant)
+        h, _ = md.decoder_forward(
+            p, jnp.asarray(x), jnp.asarray(is_geo), jnp.asarray(pos),
+            q_info=info, kv_info=None, past_kv=None, cfg=cfg,
+            expert_mode=expert_mode,
+        )
+        return np.asarray(h)
+
+    mot = run("mot", md.MIXED, tied)
+    moe = run("moe", md.MIXED, tied)
+    dense = run("dense", md.UND_ONLY, tied)
+    np.testing.assert_allclose(mot, moe, atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(moe, dense, atol=2e-5, rtol=1e-5)
