@@ -9,7 +9,7 @@ bucket, cached across calls.
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -18,7 +18,6 @@ import numpy as np
 from ..config import G2VLMConfig
 from ..data.images import load_views, resnet_normalize
 from ..models import g2vlm as jg
-from ..models import mot_decoder
 
 RECON_PROMPT = "Reconstruct the 3D scene."
 

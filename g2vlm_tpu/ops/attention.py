@@ -19,7 +19,6 @@ Layout: packed (no batch dim) — q: (S_q, H, D); k, v: (S_kv, KVH, D) with GQA.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

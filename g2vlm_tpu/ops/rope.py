@@ -12,7 +12,6 @@ unnecessary on TPU).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Sequence, Tuple
 
 import jax
