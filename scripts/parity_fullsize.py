@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""Full-architecture parity check vs the PyTorch reference on CPU.
+
+Builds the REAL G2VLM-2B-MoT architecture (28-layer MoT, DINOv2-L, full Pi3
+heads) with shared random weights and compares our single-forward recon
+against the reference's 3-phase pipeline at 2 views — the strongest
+weight-mapping/numerics validation possible without the released checkpoint.
+
+  JAX_PLATFORMS=cpu python scripts/parity_fullsize.py [--views 2]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--views", type=int, default=2)
+    ap.add_argument("--hw", type=int, nargs=2, default=(154, 210))
+    args = ap.parse_args()
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    import torch
+
+    import torch_ref
+
+    torch_ref.install()
+
+    from g2vlm_tpu.config import G2VLMConfig
+    from g2vlm_tpu.models import g2vlm as jg
+    import jax.numpy as jnp
+
+    cfg = G2VLMConfig(visual_und=False)
+
+    from modeling.g2vlm.qwen2vl import Qwen2VLConfig, Qwen2VLForCausalLM, NaiveCache
+    from modeling.dinov2_with_registers.configuration_dinov2_with_registers import (
+        Dinov2WithRegistersConfig,
+    )
+    from modeling.g2vlm.dinov2_model import Dinov2WithRegistersModel
+    from modeling.g2vlm.g2vlm import G2VLM, G2VLMConfig as RefG2VLMConfig
+
+    torch_ref.allow_math_sdpa()
+    t0 = time.time()
+    llm_cfg = Qwen2VLConfig(
+        vocab_size=cfg.llm.vocab_size,
+        hidden_size=cfg.llm.hidden_size,
+        intermediate_size=cfg.llm.intermediate_size,
+        num_hidden_layers=cfg.llm.num_hidden_layers,
+        num_attention_heads=cfg.llm.num_attention_heads,
+        num_key_value_heads=cfg.llm.num_key_value_heads,
+        qk_norm=True,
+        layer_module="Qwen2VLMoTDecoderLayer",
+        attn_implementation="eager",
+        rope_scaling={"type": "mrope", "mrope_section": list(cfg.llm.mrope_section)},
+    )
+    dino_cfg = Dinov2WithRegistersConfig(
+        hidden_size=cfg.dino.hidden_size,
+        num_hidden_layers=cfg.dino.num_hidden_layers,
+        num_attention_heads=cfg.dino.num_attention_heads,
+        image_size=cfg.dino.image_size,
+        patch_size=cfg.dino.patch_size,
+        num_register_tokens=cfg.dino.num_register_tokens,
+        attn_implementation="eager",
+    )
+    ref_cfg = RefG2VLMConfig(
+        visual_und=False, visual_recon=True,
+        llm_config=llm_cfg, vit_config=None, dino_config=dino_cfg,
+    )
+    torch.manual_seed(0)
+    with torch.no_grad():
+        model = G2VLM(
+            Qwen2VLForCausalLM(llm_cfg), None,
+            Dinov2WithRegistersModel(dino_cfg), ref_cfg,
+        ).eval()
+        for p in model.parameters():
+            p.uniform_(-0.02, 0.02)
+    torch_ref.patch_dino_attention_fp32(model)
+    print(f"[{time.time()-t0:.0f}s] reference built", flush=True)
+
+    n = args.views
+    h, w = args.hw
+    hp, wp = h // 14, w // 14
+    hw_tok = hp * wp
+    rng = np.random.default_rng(0)
+    imgs = (rng.standard_normal((n, 3, h, w)) * 0.2).astype(np.float32)
+
+    BOS, SOI, EOI = 151644, 151652, 151653
+    prompt = [int(x) for x in rng.integers(100, 5000, 6)]
+    text_ids = [BOS] + prompt
+    T = len(text_ids)
+
+    # ---- reference 3-phase pipeline ----
+    cache = NaiveCache(cfg.llm.num_hidden_layers)
+    with torch.no_grad(), torch_ref.fp32_casts():
+        cache = model.forward_cache_update_text(
+            cache,
+            packed_text_ids=torch.tensor(text_ids),
+            packed_text_position_ids=torch.arange(T).expand(3, -1),
+            text_token_lens=torch.tensor([T], dtype=torch.int32),
+            packed_text_indexes=torch.arange(T),
+            packed_key_value_indexes=torch.arange(0),
+            key_values_lens=torch.tensor([0], dtype=torch.int32),
+        )
+        ptext_ids, ptext_idx, pdino_idx, ppos, pidx = [], [], [], [], []
+        curr, rope = 0, T
+        for _ in range(n):
+            ptext_ids.append(SOI); ptext_idx.append(curr); pidx.append(T + curr)
+            ppos.append(torch.full((3, 1), rope)); curr += 1; rope += 1
+            t_i = torch.zeros(hw_tok, dtype=torch.long)
+            h_i = torch.arange(hp).repeat_interleave(wp)
+            w_i = torch.arange(wp).repeat(hp)
+            ppos.append(torch.stack([t_i, h_i, w_i]) + rope)
+            pdino_idx.extend(range(curr, curr + hw_tok))
+            pidx.extend(range(T + curr, T + curr + hw_tok))
+            curr += hw_tok; rope += max(hp, wp)
+            ptext_ids.append(EOI); ptext_idx.append(curr); pidx.append(T + curr)
+            ppos.append(torch.full((3, 1), rope)); curr += 1; rope += 1
+        gen = dict(
+            packed_text_ids=torch.tensor(ptext_ids),
+            packed_text_indexes=torch.tensor(ptext_idx),
+            packed_dino_token_indexes=torch.tensor(pdino_idx),
+            dino_token_seqlens=torch.tensor([hw_tok] * n, dtype=torch.int32),
+            packed_position_ids=torch.cat(ppos, dim=1),
+            packed_seqlens=torch.tensor([curr], dtype=torch.int32),
+            packed_indexes=torch.tensor(pidx),
+            packed_key_value_indexes=torch.arange(T),
+            key_values_lens=torch.tensor([T], dtype=torch.int32),
+            packed_dino_images=torch.from_numpy(imgs.copy()),
+            original_images=torch.from_numpy(imgs.copy()),
+        )
+        cache, last_hidden = model.forward_cache_update_dino(cache, **gen)
+        pred = model.reconstruct(
+            past_key_values=cache,
+            packed_key_value_indexes=gen["packed_indexes"],
+            key_values_lens=gen["key_values_lens"],
+            selected_hidden_states=last_hidden,
+            packed_dino_token_indexes=gen["packed_dino_token_indexes"],
+            packed_dino_images=gen["packed_dino_images"],
+            original_images=gen["original_images"],
+        )
+    ref = {k: v.numpy().squeeze(0) for k, v in pred.items()
+           if k in ("points", "local_points", "camera_poses", "global_points")
+           and v is not None}
+    print(f"[{time.time()-t0:.0f}s] reference forward done", flush=True)
+
+    # ---- ours: single forward ----
+    params = jg.params_from_torch(model.state_dict(), cfg)
+    del model
+    builder = jg.SequenceBuilder(SOI, EOI)
+    builder.add_text(text_ids)
+    builder.add_dino_images(n, hp, wp)
+    prefill = builder.build()
+    got = jg.recon_forward(
+        params, prefill, jnp.asarray(imgs), cfg, compute_dtype=jnp.float32
+    )
+    print(f"[{time.time()-t0:.0f}s] jax forward done", flush=True)
+
+    ok = True
+    for k in ("local_points", "camera_poses", "global_points", "points"):
+        a = np.asarray(got[k])
+        b = ref[k]
+        err = np.abs(a - b).max()
+        print(f"{k}: max abs err {err:.2e}  (target 1e-3)", flush=True)
+        ok &= err < 1e-3
+    print("PARITY OK" if ok else "PARITY FAIL")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
