@@ -310,12 +310,12 @@ def decoder_forward(
     final_norm: bool = True,
     und_fixup_idx: Optional[jax.Array] = None,
     remat: bool = False,
+    collect_hidden: bool = False,
 ) -> Tuple[jax.Array, Dict]:
-    """Run all layers. Returns (hidden (S, D) after final norm, new_kv stacked
-    {"k": (L, S, KVH, HD), "v": ...}).
-
-    The final norm is expert-routed like the layers (reference
-    qwen2vl.py:1322-1331).
+    """Run all layers. Returns (hidden (S, D) after final norm, aux dict with
+    new_kv stacked {"k": (L, S, KVH, HD), "v": ...} and, when collect_hidden,
+    "hidden_states" (L, S, D) — the reference's output_hidden_states /
+    intermediate_layers capability (qwen2vl.py:1236-1249)).
     """
     cos, sin = mrope_cos_sin(
         position_ids, cfg.head_dim, cfg.rope_theta, cfg.mrope_section
@@ -341,7 +341,7 @@ def decoder_forward(
             attn_impl,
             und_fixup_idx=und_fixup_idx,
         )
-        return h, new_kv
+        return h, ((new_kv, h) if collect_hidden else new_kv)
 
     if past_kv is None:
         step = lambda c, lp: body(c, (lp, None))
@@ -350,14 +350,18 @@ def decoder_forward(
             # (the reference's apply_activation_checkpointing equivalent,
             # train/fsdp_utils.py:533-547)
             step = jax.checkpoint(step, prevent_cse=False)
-        h, kvs = jax.lax.scan(step, x.astype(compute_dtype), layers)
+        h, ys = jax.lax.scan(step, x.astype(compute_dtype), layers)
     else:
         step = body
         if remat:
             step = jax.checkpoint(step, prevent_cse=False)
-        h, kvs = jax.lax.scan(
+        h, ys = jax.lax.scan(
             step, x.astype(compute_dtype), (layers, LayerKV(past_kv["k"], past_kv["v"]))
         )
+    if collect_hidden:
+        kvs, hidden_layers = ys
+    else:
+        kvs, hidden_layers = ys, None
 
     if final_norm:
         if cfg.use_moe:
@@ -377,7 +381,10 @@ def decoder_forward(
                 )
         else:
             h = rms_norm(h, params["norm"], cfg.rms_norm_eps)
-    return h, {"k": kvs.k, "v": kvs.v}
+    aux = {"k": kvs.k, "v": kvs.v}
+    if hidden_layers is not None:
+        aux["hidden_states"] = hidden_layers
+    return h, aux
 
 
 def embed_tokens(params: Dict, token_ids: jax.Array) -> jax.Array:

@@ -382,3 +382,20 @@ def test_layer_variant_consistency(rng, models):
     dense = run("dense", md.UND_ONLY, tied)
     np.testing.assert_allclose(mot, moe, atol=2e-5, rtol=1e-5)
     np.testing.assert_allclose(moe, dense, atol=2e-5, rtol=1e-5)
+
+
+def test_collect_hidden_states(rng, models):
+    """output_hidden_states capability (reference qwen2vl.py:1236-1249)."""
+    _, params = models
+    S = 10
+    x = rng.standard_normal((S, CFG.hidden_size)).astype(np.float32)
+    pos = rand_pos_ids(rng, S)
+    h, aux = md.decoder_forward(
+        params, jnp.asarray(x), jnp.zeros(S, bool), jnp.asarray(pos),
+        q_info=causal_info(S), kv_info=None, past_kv=None, cfg=CFG,
+        expert_mode=md.UND_ONLY, collect_hidden=True,
+    )
+    assert aux["hidden_states"].shape == (CFG.num_hidden_layers, S, CFG.hidden_size)
+    # the last collected layer is the pre-final-norm hidden
+    hn = np.asarray(aux["hidden_states"][-1])
+    assert np.isfinite(hn).all()
