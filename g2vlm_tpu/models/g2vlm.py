@@ -30,6 +30,10 @@ from . import dinov2, mot_decoder, pi3_heads
 RESNET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
 RESNET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 
+# Toggle for the geo-dominant expert fast path (tests flip it to compare
+# GEO_MAIN vs MIXED end to end).
+GEO_MAIN_ENABLED = True
+
 
 # ---------------------------------------------------------------------------
 # params
@@ -342,7 +346,8 @@ def prefill_hidden(
     # and fix up the few und rows — 1x FLOPs instead of MIXED's dual compute.
     n_text = len(prefill.text_indexes)
     geo_dominant = (
-        cfg.llm.layer_module == "mot"
+        GEO_MAIN_ENABLED
+        and cfg.llm.layer_module == "mot"
         and isinstance(prefill.text_indexes, np.ndarray)  # host-built consts
         and len(prefill.vit_indexes) == 0
         and n_text > 0

@@ -70,3 +70,27 @@ def test_generate_sampling_respects_temperature(pipe):
         )
         outs.add(tuple(np.asarray(toks).tolist()))
     assert len(outs) > 1  # high temperature: different seeds differ
+
+
+def test_geo_main_pipeline_matches_mixed(pipe, rng):
+    """The GEO_MAIN fast path must be numerically identical at the pipeline
+    level (triggered when dino tokens dominate: 1-token prompt, 3 views)."""
+    views = rng.random((3, 3, 56, 56)).astype(np.float32)
+    prompt = "x"  # 1 fake token + bos -> 2 text tokens vs 48 dino tokens
+    out_fast = pipe.recon_from_views(views, prompt=prompt)
+
+    import g2vlm_tpu.models.g2vlm as jg_mod
+
+    assert jg_mod.GEO_MAIN_ENABLED
+    try:
+        jg_mod.GEO_MAIN_ENABLED = False
+        pipe._recon_jit.cache_clear()
+        out_mixed = pipe.recon_from_views(views, prompt=prompt)
+    finally:
+        jg_mod.GEO_MAIN_ENABLED = True
+        pipe._recon_jit.cache_clear()
+    np.testing.assert_allclose(
+        np.asarray(out_fast["points"]),
+        np.asarray(out_mixed["points"]),
+        atol=2e-4, rtol=1e-4,
+    )
