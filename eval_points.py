@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Point-map evaluation harness: scale-aligned point errors of multi-view
+reconstruction against GT depth/pose annotations (the quantitative eval the
+reference leaves to its external paper).
+
+Metrics per scene, after the same scale alignment the training loss uses
+(weighted-L1 optimal scale, train/loss.align_points_scale):
+  * local-abs-rel : mean |s*pred - gt| / |gt| over valid pixels (camera frame)
+  * world-rmse    : RMSE of aligned world points in the first-camera frame
+
+  python eval_points.py --jsonl scenes.jsonl --model_path ... --num_views 8
+"""
+
+import argparse
+import json
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--jsonl", type=str, required=True)
+    ap.add_argument("--model_path", type=str, default=None)
+    ap.add_argument("--num_views", type=int, default=8)
+    ap.add_argument("--max_scenes", type=int, default=0)
+    ap.add_argument("--dtype", type=str, default="bfloat16",
+                    choices=["bfloat16", "float32"])
+    args = ap.parse_args()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from g2vlm_tpu.config import G2VLMConfig
+    from g2vlm_tpu.data.recon_dataset import depth_to_world_points, load_depth
+    from g2vlm_tpu.inference.pipeline import G2VLMPipeline
+    from g2vlm_tpu.models import g2vlm as jg
+    from g2vlm_tpu.train.loss import align_points_scale
+    from g2vlm_tpu.utils.geometry import homogenize_points, se3_inverse
+    from g2vlm_tpu.utils.image import resize_hw
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    tokenizer = new_token_ids = None
+    if args.model_path:
+        from g2vlm_tpu.weights import load_checkpoint
+        from g2vlm_tpu.data.tokenizer import load_tokenizer
+
+        params, cfg = load_checkpoint(args.model_path)
+        tokenizer, new_token_ids, _ = load_tokenizer(args.model_path)
+    else:
+        print("no --model_path: random weights (harness smoke mode)")
+        cfg = G2VLMConfig(visual_und=False)
+        params = jg.init_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
+    pipe = G2VLMPipeline(
+        params, cfg, tokenizer=tokenizer, new_token_ids=new_token_ids,
+        compute_dtype=dtype,
+    )
+
+    abs_rels, rmses = [], []
+    n_scenes = 0
+    with open(args.jsonl) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            item = json.loads(line)
+            frames = item["frames"][: args.num_views]
+            if len(frames) < 2 or not all(fr.get("depth") for fr in frames):
+                continue
+            out = pipe.recon([fr["image"] for fr in frames])
+            pred_pts = np.asarray(out["points"], np.float32)  # (N, h, w, 3)
+            n, ph, pw, _ = pred_pts.shape
+
+            # GT world points in the first-camera frame, resized to pred res
+            w2c0 = np.asarray(
+                se3_inverse(jnp.asarray(frames[0]["extrinsics"], jnp.float32))
+            )
+            gts, masks = [], []
+            for fr in frames:
+                depth = load_depth(fr["depth"], fr.get("depth_scale", 1000.0))
+                pts, valid = depth_to_world_points(
+                    depth,
+                    np.asarray(fr["intrinsics"], np.float32),
+                    np.asarray(fr["extrinsics"], np.float32),
+                )
+                pts = pts @ w2c0[:3, :3].T + w2c0[:3, 3]
+                pts_r = np.asarray(
+                    resize_hw(
+                        jnp.asarray(pts.transpose(2, 0, 1)), (ph, pw),
+                        method="bilinear", antialias=True,
+                    )
+                ).transpose(1, 2, 0)
+                valid_r = (
+                    np.asarray(
+                        resize_hw(
+                            jnp.asarray(valid[None].astype(np.float32)),
+                            (ph, pw), method="bilinear", antialias=True,
+                        )
+                    )[0]
+                    > 0.99
+                )
+                gts.append(pts_r)
+                masks.append(valid_r)
+            gt = np.stack(gts)[None]
+            mask = np.stack(masks)[None]
+            pred = pred_pts[None]
+
+            w = np.ones(mask.shape[1:]).reshape(1, -1)
+            scale = np.asarray(
+                align_points_scale(
+                    jnp.asarray(pred.reshape(1, -1, 3) * mask.reshape(1, -1, 1)),
+                    jnp.asarray(gt.reshape(1, -1, 3) * mask.reshape(1, -1, 1)),
+                    jnp.asarray(w * mask.reshape(1, -1)),
+                )
+            )[0]
+            aligned = abs(scale) * pred
+            m = mask[0]
+            diff = np.linalg.norm(aligned[0] - gt[0], axis=-1)[m]
+            norm = np.linalg.norm(gt[0], axis=-1)[m]
+            abs_rels.append(float(np.mean(diff / np.maximum(norm, 1e-6))))
+            rmses.append(float(np.sqrt(np.mean(diff ** 2))))
+            n_scenes += 1
+            if args.max_scenes and n_scenes >= args.max_scenes:
+                break
+
+    print(f"scenes={n_scenes}")
+    print(f"local-abs-rel: {np.mean(abs_rels):.4f}")
+    print(f"world-rmse:    {np.mean(rmses):.4f}")
+
+
+if __name__ == "__main__":
+    main()
