@@ -200,7 +200,16 @@ class SequencePacker:
             self.data_indexes.append(sample["data_indexes"])
 
     # -- finalize -----------------------------------------------------------
-    def to_batch(self, rng: Optional[random.Random] = None) -> Dict[str, Any]:
+    def to_batch(
+        self,
+        rng: Optional[random.Random] = None,
+        sorted_layout: bool = False,
+    ) -> Dict[str, Any]:
+        """sorted_layout=True permutes the physical token order to
+        [und | padding | geo] so the decoder's SPLIT expert mode can run
+        contiguous single-expert matmuls (mot_decoder.SPLIT). Attention
+        semantics are unchanged: the TokenInfo `pos` field carries the
+        logical order. The batch gains `geo_start` (= S - num_geo_tokens)."""
         cfg = self.cfg
         s = cfg.max_num_tokens
         assert self.curr <= s, (self.curr, s)
@@ -271,6 +280,26 @@ class SequencePacker:
         if self.vit_patches:
             batch["vit_patches"] = np.concatenate(self.vit_patches, axis=0)
             batch["vit_grids"] = list(self.vit_grids)
+        if sorted_layout:
+            batch = self._sort_layout(batch, s)
+        return batch
+
+    @staticmethod
+    def _sort_layout(batch: Dict[str, Any], s: int) -> Dict[str, Any]:
+        is_geo = batch["is_geo"]
+        # physical order: und tokens (logical order), padding, then geo
+        pad = batch["doc_id"] < 0
+        order_key = np.where(pad, 1, np.where(is_geo, 2, 0))
+        perm = np.argsort(order_key, kind="stable")  # physical j <- logical perm[j]
+        inv = np.empty(s, np.int64)
+        inv[perm] = np.arange(s)
+        for k in ("doc_id", "fn_id", "noise_id", "pos", "is_geo"):
+            batch[k] = batch[k][perm]
+        batch["position_ids"] = batch["position_ids"][:, perm]
+        for k in ("text_indexes", "dino_indexes", "vit_indexes", "ce_indexes"):
+            if len(batch[k]):
+                batch[k] = inv[batch[k]].astype(batch[k].dtype)
+        batch["geo_start"] = int(s - is_geo.sum())
         return batch
 
 

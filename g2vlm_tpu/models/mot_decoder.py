@@ -45,6 +45,10 @@ MIXED = "mixed"       # route per-token by is_geo (dual compute + select)
 GEO_MAIN = "geo_main" # geo expert everywhere + und fixup at und_fixup_idx
                       # rows — 1x FLOPs for geo-dominant prefills (recon:
                       # ~25k dino tokens vs ~10^2 text tokens)
+SPLIT = "split"       # physical layout [und | geo] with a static boundary
+                      # (packer sorted_layout): contiguous single-expert
+                      # slices — 1x FLOPs for mixed training batches. Pass
+                      # the boundary via decoder_forward(geo_start=...).
 
 
 class LayerKV(NamedTuple):
@@ -146,6 +150,71 @@ def _geo_main_layer(
     return residual + m, new_kv
 
 
+def _split_layer(
+    lp, x, geo_start, cos, sin, q_info, kv_info, past_kv, cfg, dt, attn_impl
+):
+    """MoT layer over a [und | geo] sorted physical layout with a static
+    boundary: every expert matmul runs on a contiguous slice — 1x FLOPs for
+    mixed training batches (the MIXED mode dual-computes both experts).
+    Attention order-independence comes from the TokenInfo metadata (pos
+    carries the logical order)."""
+    nh, kvh, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    s = x.shape[0]
+    eps = cfg.rms_norm_eps
+    b = geo_start
+
+    def both(f_u, f_g):
+        return jnp.concatenate([f_u, f_g], axis=0)
+
+    residual = x
+    x_u, x_g = x[:b], x[b:]
+    h_u = rms_norm(x_u, lp["ln_attn"], eps)
+    h_g = rms_norm(x_g, lp["ln_attn_geo"], eps)
+    q = both(_lin(h_u, lp["q"], dt), _lin(h_g, lp["q_geo"], dt)).reshape(s, nh, hd)
+    k = both(_lin(h_u, lp["k"], dt), _lin(h_g, lp["k_geo"], dt)).reshape(s, kvh, hd)
+    v = both(_lin(h_u, lp["v"], dt), _lin(h_g, lp["v_geo"], dt)).reshape(s, kvh, hd)
+
+    if cfg.qk_norm:
+        qf = q.astype(jnp.float32)
+        kf = k.astype(jnp.float32)
+        q = both(
+            rms_norm(qf[:b], lp["q_norm"], eps),
+            rms_norm(qf[b:], lp["q_norm_geo"], eps),
+        )
+        k = both(
+            rms_norm(kf[:b], lp["k_norm"], eps),
+            rms_norm(kf[b:], lp["k_norm_geo"], eps),
+        )
+
+    q, k = apply_mrope(q, k, cos, sin)
+    q = q.astype(dt)
+    k = k.astype(dt)
+    v = v.astype(dt)
+    new_kv = LayerKV(k, v)
+
+    if past_kv is not None:
+        k_all = jnp.concatenate([past_kv.k.astype(dt), k], axis=0)
+        v_all = jnp.concatenate([past_kv.v.astype(dt), v], axis=0)
+    else:
+        k_all, v_all = k, v
+    if kv_info is None:
+        kv_info = q_info
+
+    attn = segment_attention(q, k_all, v_all, q_info, kv_info, impl=attn_impl)
+    attn = attn.reshape(s, nh * hd)
+    out = both(
+        _lin(attn[:b], lp["o"], dt),
+        _lin(attn[b:], lp["o_geo"], dt) * lp["ls1"].astype(dt),
+    )
+    x = residual + out
+
+    residual = x
+    m_u = _mlp(rms_norm(x[:b], lp["ln_mlp"], eps), lp["mlp"], dt)
+    m_g = _mlp(rms_norm(x[b:], lp["ln_mlp_geo"], eps), lp["mlp_geo"], dt)
+    m = both(m_u, m_g * lp["ls2"].astype(dt))
+    return residual + m, new_kv
+
+
 def mot_layer_forward(
     lp: Dict,
     x: jax.Array,  # (S, D)
@@ -160,6 +229,7 @@ def mot_layer_forward(
     compute_dtype,
     attn_impl: str = "auto",
     und_fixup_idx: Optional[jax.Array] = None,
+    geo_start: Optional[int] = None,
 ) -> Tuple[jax.Array, LayerKV]:
     """One MoT decoder layer over packed tokens. Returns (hidden, new_kv).
 
@@ -176,6 +246,12 @@ def mot_layer_forward(
         assert variant == "mot" and und_fixup_idx is not None
         return _geo_main_layer(
             lp, x, und_fixup_idx, cos, sin, q_info, kv_info, past_kv, cfg, dt,
+            attn_impl,
+        )
+    if expert_mode == SPLIT:
+        assert variant == "mot" and geo_start is not None
+        return _split_layer(
+            lp, x, geo_start, cos, sin, q_info, kv_info, past_kv, cfg, dt,
             attn_impl,
         )
 
@@ -309,6 +385,7 @@ def decoder_forward(
     attn_impl: str = "auto",
     final_norm: bool = True,
     und_fixup_idx: Optional[jax.Array] = None,
+    geo_start: Optional[int] = None,
     remat: bool = False,
     collect_hidden: bool = False,
 ) -> Tuple[jax.Array, Dict]:
@@ -340,6 +417,7 @@ def decoder_forward(
             compute_dtype,
             attn_impl,
             und_fixup_idx=und_fixup_idx,
+            geo_start=geo_start,
         )
         return h, ((new_kv, h) if collect_hidden else new_kv)
 
@@ -373,6 +451,14 @@ def decoder_forward(
                 hu = rms_norm(h[und_fixup_idx], params["norm"], cfg.rms_norm_eps)
                 h = rms_norm(h, params["norm_geo"], cfg.rms_norm_eps)
                 h = h.at[und_fixup_idx].set(hu)
+            elif expert_mode == SPLIT:
+                h = jnp.concatenate(
+                    [
+                        rms_norm(h[:geo_start], params["norm"], cfg.rms_norm_eps),
+                        rms_norm(h[geo_start:], params["norm_geo"], cfg.rms_norm_eps),
+                    ],
+                    axis=0,
+                )
             else:
                 h = jnp.where(
                     is_geo[:, None],

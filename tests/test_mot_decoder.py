@@ -399,3 +399,39 @@ def test_collect_hidden_states(rng, models):
     # the last collected layer is the pre-final-norm hidden
     hn = np.asarray(aux["hidden_states"][-1])
     assert np.isfinite(hn).all()
+
+
+def test_split_matches_mixed_sorted_layout(rng, models):
+    """SPLIT ([und|geo] contiguous slices) == MIXED on the same logical
+    sequence, via the packer's sorted_layout permutation."""
+    _, params = models
+    S = 20
+    x_logical = rng.standard_normal((S, CFG.hidden_size)).astype(np.float32)
+    pos3 = rand_pos_ids(rng, S)
+    is_geo = rng.random(S) < 0.5
+    info = full_info(S)
+
+    mixed, _ = md.decoder_forward(
+        params, jnp.asarray(x_logical), jnp.asarray(is_geo), jnp.asarray(pos3),
+        q_info=info, kv_info=None, past_kv=None, cfg=CFG,
+        expert_mode=md.MIXED,
+    )
+
+    # sorted physical layout: und first, then geo, metadata permuted
+    order = np.argsort(is_geo, kind="stable")
+    inv = np.empty(S, np.int64); inv[order] = np.arange(S)
+    x_s = x_logical[order]
+    pos_s = pos3[:, order]
+    info_s = TokenInfo(
+        info.doc_id[order], info.fn_id[order], info.noise_id[order],
+        info.pos[order],
+    )
+    geo_start = int((~is_geo).sum())
+    split, _ = md.decoder_forward(
+        params, jnp.asarray(x_s), jnp.asarray(np.sort(is_geo)),
+        jnp.asarray(pos_s), q_info=info_s, kv_info=None, past_kv=None,
+        cfg=CFG, expert_mode=md.SPLIT, geo_start=geo_start,
+    )
+    np.testing.assert_allclose(
+        np.asarray(split)[inv], np.asarray(mixed), atol=2e-5, rtol=1e-4
+    )
