@@ -204,6 +204,7 @@ class SequencePacker:
         self,
         rng: Optional[random.Random] = None,
         sorted_layout: bool = False,
+        geo_start_bucket: int = 1,
     ) -> Dict[str, Any]:
         """sorted_layout=True permutes the physical token order to
         [und | padding | geo] so the decoder's SPLIT expert mode can run
@@ -281,11 +282,13 @@ class SequencePacker:
             batch["vit_patches"] = np.concatenate(self.vit_patches, axis=0)
             batch["vit_grids"] = list(self.vit_grids)
         if sorted_layout:
-            batch = self._sort_layout(batch, s)
+            batch = self._sort_layout(batch, s, geo_start_bucket)
         return batch
 
     @staticmethod
-    def _sort_layout(batch: Dict[str, Any], s: int) -> Dict[str, Any]:
+    def _sort_layout(
+        batch: Dict[str, Any], s: int, geo_start_bucket: int = 1
+    ) -> Dict[str, Any]:
         is_geo = batch["is_geo"]
         # physical order: und tokens (logical order), padding, then geo
         pad = batch["doc_id"] < 0
@@ -299,7 +302,11 @@ class SequencePacker:
         for k in ("text_indexes", "dino_indexes", "vit_indexes", "ce_indexes"):
             if len(batch[k]):
                 batch[k] = inv[batch[k]].astype(batch[k].dtype)
-        batch["geo_start"] = int(s - is_geo.sum())
+        n_und = int((order_key == 0).sum())
+        geo_start = int(s - is_geo.sum())
+        geo_start = max(n_und, geo_start // geo_start_bucket * geo_start_bucket)
+        assert geo_start >= n_und, (geo_start, n_und)
+        batch["geo_start"] = geo_start
         return batch
 
 

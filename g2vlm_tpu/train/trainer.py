@@ -65,8 +65,13 @@ def train_forward(
     ce_weight: float = 1.0,
     recon_weight: float = 1.0,
     remat: bool = True,
+    geo_start: Optional[int] = None,
 ) -> Tuple[jax.Array, Dict]:
-    """One packed sample -> scalar loss + details."""
+    """One packed sample -> scalar loss + details.
+
+    geo_start: static [und|geo] boundary from the packer's sorted_layout —
+    switches the MoT to the SPLIT expert mode (contiguous single-expert
+    matmuls, 1x FLOPs instead of MIXED's 2x)."""
     d = cfg.llm.hidden_size
     s = batch.doc_id.shape[0]
 
@@ -90,7 +95,8 @@ def train_forward(
         kv_info=None,
         past_kv=None,
         cfg=cfg.llm,
-        expert_mode=mot_decoder.MIXED,
+        expert_mode=mot_decoder.MIXED if geo_start is None else mot_decoder.SPLIT,
+        geo_start=geo_start,
         compute_dtype=compute_dtype,
         attn_impl=attn_impl,
         remat=remat,
@@ -176,15 +182,17 @@ def make_train_step(
     ema_decay: float = 0.9999,
     donate: bool = True,
     remat: bool = True,
+    geo_start: Optional[int] = None,
 ):
     """Returns train_step(state, batch) -> (state, metrics). `batch` carries a
-    leading dp-batch axis; the loss is the mean over it."""
+    leading dp-batch axis; the loss is the mean over it. Pass geo_start (a
+    static int, bucketed by the packer) to train in the SPLIT expert layout."""
 
     def loss_fn(params, batch):
         def one(b):
             return train_forward(
                 params, b, cfg, compute_dtype=compute_dtype,
-                attn_impl=attn_impl, remat=remat,
+                attn_impl=attn_impl, remat=remat, geo_start=geo_start,
             )
 
         total, details = jax.vmap(one)(batch)

@@ -145,6 +145,73 @@ def test_packer_builds_train_batch(scene_jsonl):
     assert float(details["dl"]) > 0
 
 
+def test_split_layout_train_forward_matches_mixed(scene_jsonl):
+    """Packer sorted_layout + trainer SPLIT mode == unsorted MIXED: the loss
+    is layout-invariant (pos field carries logical order through attention,
+    index arrays are remapped through the permutation)."""
+    import random as pyrandom
+
+    cfg = PackerConfig(
+        expected_num_tokens=64,
+        max_num_tokens_per_sample=64,
+        max_num_tokens=128,
+        max_ce_slots=8,
+    )
+
+    def make_tb(sorted_layout, bucket=1):
+        ds = _make_group(scene_jsonl)
+        packer = SequencePacker(cfg, TOKEN_IDS)
+        packer.add_sample(next(iter(ds)), pyrandom.Random(0))
+        batch = packer.to_batch(
+            pyrandom.Random(0), sorted_layout=sorted_layout,
+            geo_start_bucket=bucket,
+        )
+        tb = trainer.TrainBatch(
+            text_ids=batch["text_ids"],
+            text_indexes=batch["text_indexes"],
+            dino_indexes=batch["dino_indexes"],
+            vit_indexes=batch["vit_indexes"],
+            is_geo=batch["is_geo"],
+            position_ids=batch["position_ids"],
+            doc_id=batch["doc_id"],
+            fn_id=batch["fn_id"],
+            noise_id=batch["noise_id"],
+            pos=batch["pos"],
+            ce_indexes=batch["ce_indexes"],
+            ce_labels=batch["ce_labels"],
+            ce_weights=batch["ce_weights"],
+            dino_images=batch["dino_images"] - 0.45,
+            world_points=batch["world_points"][None],
+            point_masks=batch["point_masks"][None],
+            extrinsics=batch["extrinsics"][None],
+            normal_batch_mask=np.ones((1,), bool),
+        )
+        return jax.tree.map(jnp.asarray, tb), batch.get("geo_start")
+
+    tcfg = tiny_test_config()
+    params = jg.init_params(tcfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    tb_mixed, _ = make_tb(False)
+    tb_split, geo_start = make_tb(True, bucket=16)
+    s = cfg.max_num_tokens
+    assert geo_start % 16 == 0 and geo_start < s
+    # the und region holds no geo tokens (boundary sits in the pad span)
+    assert np.asarray(tb_split.is_geo)[:geo_start].sum() == 0
+
+    total_m, det_m = trainer.train_forward(
+        params, tb_mixed, tcfg, compute_dtype=jnp.float32
+    )
+    total_s, det_s = trainer.train_forward(
+        params, tb_split, tcfg, compute_dtype=jnp.float32,
+        geo_start=geo_start,
+    )
+    np.testing.assert_allclose(
+        float(total_s), float(total_m), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(det_s["ce"]), float(det_m["ce"]), rtol=1e-4, atol=1e-5
+    )
+
+
 def test_packed_iterable_dataset(scene_jsonl):
     ds = _make_group(scene_jsonl)
     packed = PackedIterableDataset(
