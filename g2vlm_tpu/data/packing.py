@@ -53,6 +53,10 @@ class PackerConfig:
     cojitter_prob: float = 0.7  # reference dataset_base.py:88-90 (1-0.3)
     loss_reduction: str = "square"
     base_seed: int = 42
+    # SPLIT expert layout (mot_decoder.SPLIT): emit [und|pad|geo] physical
+    # order + a bucketed static geo_start for 1x-FLOPs mixed training
+    sorted_layout: bool = False
+    geo_start_bucket: int = 256
 
 
 class SequencePacker:
@@ -410,15 +414,22 @@ class PackedIterableDataset:
                 continue
 
             if packer.curr + sample["num_tokens"] > self.cfg.max_num_tokens:
-                yield packer.to_batch(step_rng)
-                packer.reset()
+                yield self._emit(packer, step_rng)
                 random_image_num = random_ar = None
                 continue
             packer.add_sample(sample, step_rng)
             if packer.curr >= self.cfg.expected_num_tokens:
-                yield packer.to_batch(step_rng)
-                packer.reset()
+                yield self._emit(packer, step_rng)
                 random_image_num = random_ar = None
+
+    def _emit(self, packer: "SequencePacker", step_rng) -> Dict[str, Any]:
+        batch = packer.to_batch(
+            step_rng,
+            sorted_layout=self.cfg.sorted_layout,
+            geo_start_bucket=self.cfg.geo_start_bucket,
+        )
+        packer.reset()
+        return batch
 
     def _fits_alone(self, sample) -> bool:
         return sample["num_tokens"] < self.cfg.max_num_tokens_per_sample

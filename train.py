@@ -37,6 +37,11 @@ def parse_args():
     ap.add_argument("--dp", type=int, default=1)
     ap.add_argument("--tp", type=int, default=1)
     ap.add_argument("--max_num_tokens", type=int, default=36864)
+    ap.add_argument("--split_layout", action="store_true",
+                    help="SPLIT expert layout: packer sorts tokens [und|geo] "
+                         "and the MoT runs contiguous single-expert matmuls "
+                         "(1x FLOPs vs MIXED's 2x)")
+    ap.add_argument("--geo_start_bucket", type=int, default=256)
     ap.add_argument("--tiny", action="store_true", help="tiny config (tests)")
     ap.add_argument("--synthetic", action="store_true",
                     help="synthetic data (no datasets needed)")
@@ -109,7 +114,11 @@ def packer_batches(args, cfg, new_token_ids, tokenizer, data_status):
     packed = PackedIterableDataset(
         groups,
         new_token_ids,
-        PackerConfig(max_num_tokens=args.max_num_tokens),
+        PackerConfig(
+            max_num_tokens=args.max_num_tokens,
+            sorted_layout=args.split_layout,
+            geo_start_bucket=args.geo_start_bucket,
+        ),
     )
     for b in iter(packed):
         tb = TrainBatch(
@@ -125,7 +134,10 @@ def packer_batches(args, cfg, new_token_ids, tokenizer, data_status):
             extrinsics=b["extrinsics"][None],
             normal_batch_mask=np.ones((1,), bool),
         )
-        yield __import__("jax").tree.map(lambda x: x[None], tb)  # dp axis
+        yield (
+            __import__("jax").tree.map(lambda x: x[None], tb),  # dp axis
+            b.get("geo_start"),
+        )
 
 
 def main():
@@ -186,26 +198,33 @@ def main():
         state, data_status = mgr.restore(state)
         logger.info(f"resumed at step {int(state.step)}")
 
-    step_fn = jax.jit(
-        trainer.make_train_step(
-            cfg, optimizer,
-            compute_dtype=jnp.float32 if args.tiny else jnp.bfloat16,
-            ema_decay=args.ema_decay,
+    # one jitted program per geo_start bucket (geo_start is a static arg;
+    # the packer buckets it so in practice there are only a few)
+    import functools
+
+    @functools.lru_cache(maxsize=8)
+    def get_step_fn(geo_start):
+        return jax.jit(
+            trainer.make_train_step(
+                cfg, optimizer,
+                compute_dtype=jnp.float32 if args.tiny else jnp.bfloat16,
+                ema_decay=args.ema_decay,
+                geo_start=geo_start,
+            )
         )
-    )
 
     if args.synthetic:
-        batches = synthetic_batches(cfg, args.dp, args.seed)
+        batches = ((b, None) for b in synthetic_batches(cfg, args.dp, args.seed))
     else:
         batches = packer_batches(args, cfg, new_token_ids, tokenizer, data_status)
 
     timer = StepTimer()
     with mesh:
-        for step, batch in enumerate(batches, start=int(state.step)):
+        for step, (batch, geo_start) in enumerate(batches, start=int(state.step)):
             if step >= args.steps:
                 break
             with maybe_profile(args.profile_dir, step, 5, 3):
-                state, metrics = step_fn(state, batch)
+                state, metrics = get_step_fn(geo_start)(state, batch)
             if step % args.log_every == 0:
                 jax.block_until_ready(metrics)
                 dt = timer.tick()
