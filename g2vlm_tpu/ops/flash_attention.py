@@ -11,8 +11,10 @@ max/sum/accumulator live in VMEM scratch across the KV dimension; q/k/v
 blocks are pipelined from HBM by the Mosaic pipeliner. GQA maps each q head
 to its KV head in the index maps — no materialized KV repeat.
 
-Forward-only: training uses the differentiable chunked XLA path
-(ops/attention.py); inference and eval run this kernel.
+Differentiable: flash_segment_attention carries a custom VJP whose backward
+is two more Pallas kernels (dq; and per-q-head dk/dv reduced over GQA groups
+outside). Training can therefore run the Pallas path end-to-end; the chunked
+XLA formulation (ops/attention.py) remains the portable default.
 """
 
 from __future__ import annotations
@@ -106,10 +108,328 @@ def _flash_kernel(
         o_ref[0] = out.astype(o_ref.dtype)
 
 
+def _flash_kernel_lse(
+    q_ref, k_ref, v_ref, qm_ref, km_ref, o_ref, lse_ref,
+    m_scr, l_scr, acc_scr, *, scale: float, n_kv_blocks: int,
+):
+    """Forward that also emits the per-row logsumexp (for the backward)."""
+    _flash_kernel(
+        q_ref, k_ref, v_ref, qm_ref, km_ref, o_ref, m_scr, l_scr, acc_scr,
+        scale=scale, n_kv_blocks=n_kv_blocks,
+    )
+    j = pl.program_id(2)
+
+    @pl.when(j == n_kv_blocks - 1)
+    def _():
+        m = m_scr[:, :1]
+        l = l_scr[:, :1]
+        # fully-masked rows: lse = NEG_INF so backward p = exp(-inf) = 0
+        lse = jnp.where(
+            l > 0.0, m + jnp.log(jnp.maximum(l, 1e-30)), NEG_INF
+        )
+        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+
+
+def _recompute_p(q, k, qm, km, lse, scale):
+    """(BQ,D),(BK,D) -> masked softmax probabilities (BQ,BK), fp32."""
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    mask = _mask_rule(
+        qm[:, 0:1], qm[:, 1:2], qm[:, 2:3], qm[:, 3:4],
+        km[:, 0].reshape(1, -1), km[:, 1].reshape(1, -1),
+        km[:, 2].reshape(1, -1), km[:, 3].reshape(1, -1),
+    )
+    p = jnp.exp(jnp.where(mask, s, NEG_INF) - lse)
+    return jnp.where(mask, p, 0.0)
+
+
+def _flash_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, qm_ref, km_ref, do_ref, lse_ref, delta_ref,
+    dq_ref, dq_scr, *, scale: float, n_kv_blocks: int,
+):
+    """grid (h, n_q, n_kv): accumulate dq over kv blocks.
+
+    dS = P * (dO @ V^T - delta); dQ = dS @ K * scale."""
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0][:, :1]
+    delta = delta_ref[0][:, :1]
+
+    p = _recompute_p(q, k, qm_ref[:], km_ref[:], lse, scale)
+    dp = jax.lax.dot_general(
+        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta)
+    dq_scr[:] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+
+    @pl.when(j == n_kv_blocks - 1)
+    def _():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, qm_ref, km_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref, dk_scr, dv_scr, *, scale: float, n_q_blocks: int,
+):
+    """grid (h, n_kv, n_q): accumulate per-Q-HEAD dk/dv over q blocks
+    (GQA group reduction happens outside the kernel).
+
+    dV = P^T @ dO; dK = dS^T @ Q * scale."""
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0][:, :1]
+    delta = delta_ref[0][:, :1]
+
+    p = _recompute_p(q, k, qm_ref[:], km_ref[:], lse, scale)  # (BQ, BK)
+    dv_scr[:] += jax.lax.dot_general(
+        p.astype(do.dtype), do, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta)  # (BQ, BK)
+    dk_scr[:] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+
+    @pl.when(i == n_q_blocks - 1)
+    def _():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
 def _pack_meta(info: TokenInfo) -> jax.Array:
     return jnp.stack(
         [info.doc_id, info.fn_id, info.noise_id, info.pos], axis=1
     ).astype(jnp.int32)
+
+
+def _q_spec(block_q, d):
+    return pl.BlockSpec(
+        (1, block_q, d), lambda hh, i, j: (hh, i, 0), memory_space=pltpu.VMEM
+    )
+
+
+def _kv_spec(block_kv, d, g):
+    return pl.BlockSpec(
+        (1, block_kv, d), lambda hh, i, j, g=g: (hh // g, j, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _row_spec(block_q):
+    # (H, S_q, 128) lane-broadcast per-row statistics (lse / delta)
+    return pl.BlockSpec(
+        (1, block_q, 128), lambda hh, i, j: (hh, i, 0), memory_space=pltpu.VMEM
+    )
+
+
+def _meta_specs(block_q, block_kv):
+    return [
+        pl.BlockSpec(
+            (block_q, 4), lambda hh, i, j: (i, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (block_kv, 4), lambda hh, i, j: (j, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+
+
+_SEMANTICS = pltpu.CompilerParams(
+    dimension_semantics=("parallel", "parallel", "arbitrary"),
+)
+
+
+def _fwd_pallas(qp, kp, vp, qm, km, scale, block_q, block_kv, interpret,
+                with_lse):
+    h, sq_p, d = qp.shape
+    skv_p = kp.shape[1]
+    n_q = sq_p // block_q
+    n_kv = skv_p // block_kv
+    g = h // kp.shape[0]
+    if with_lse:
+        kernel = functools.partial(
+            _flash_kernel_lse, scale=scale, n_kv_blocks=n_kv
+        )
+        out_shape = [
+            jax.ShapeDtypeStruct((h, sq_p, d), vp.dtype),
+            jax.ShapeDtypeStruct((h, sq_p, 128), jnp.float32),
+        ]
+        out_specs = [_q_spec(block_q, d), _row_spec(block_q)]
+    else:
+        kernel = functools.partial(
+            _flash_kernel, scale=scale, n_kv_blocks=n_kv
+        )
+        out_shape = jax.ShapeDtypeStruct((h, sq_p, d), vp.dtype)
+        out_specs = _q_spec(block_q, d)
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid=(h, n_q, n_kv),
+        in_specs=[
+            _q_spec(block_q, d),
+            _kv_spec(block_kv, d, g),
+            _kv_spec(block_kv, d, g),
+            *_meta_specs(block_q, block_kv),
+        ],
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=_SEMANTICS,
+        interpret=interpret,
+    )(qp, kp, vp, qm, km)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _flash(qp, kp, vp, qm, km, scale, block_q, block_kv, interpret):
+    """Padded head-major flash attention: (H,Sq,D),(KVH,Skv,D) -> (H,Sq,D)."""
+    return _fwd_pallas(
+        qp, kp, vp, qm, km, scale, block_q, block_kv, interpret, False
+    )
+
+
+def _flash_fwd(qp, kp, vp, qm, km, scale, block_q, block_kv, interpret):
+    out, lse = _fwd_pallas(
+        qp, kp, vp, qm, km, scale, block_q, block_kv, interpret, True
+    )
+    return out, (qp, kp, vp, qm, km, out, lse)
+
+
+def _flash_bwd(scale, block_q, block_kv, interpret, res, do):
+    qp, kp, vp, qm, km, out, lse = res
+    h, sq_p, d = qp.shape
+    kvh, skv_p, _ = kp.shape
+    g = h // kvh
+    n_q = sq_p // block_q
+    n_kv = skv_p // block_kv
+
+    # delta_i = sum_d dO_i O_i, lane-broadcast like lse
+    delta = jnp.sum(
+        do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1,
+        keepdims=True,
+    )
+    delta = jnp.broadcast_to(delta, (h, sq_p, 128))
+
+    args = (qp, kp, vp, qm, km, do, lse, delta)
+    in_specs = [
+        _q_spec(block_q, d),
+        _kv_spec(block_kv, d, g),
+        _kv_spec(block_kv, d, g),
+        *_meta_specs(block_q, block_kv),
+        _q_spec(block_q, d),  # do
+        _row_spec(block_q),  # lse
+        _row_spec(block_q),  # delta
+    ]
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dq_kernel, scale=scale, n_kv_blocks=n_kv
+        ),
+        out_shape=jax.ShapeDtypeStruct((h, sq_p, d), qp.dtype),
+        grid=(h, n_q, n_kv),
+        in_specs=in_specs,
+        out_specs=_q_spec(block_q, d),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=_SEMANTICS,
+        interpret=interpret,
+    )(*args)
+
+    # dk/dv per Q head (grid iterates q blocks innermost), then GQA-sum
+    kv_out_spec = pl.BlockSpec(
+        (1, block_kv, d), lambda hh, j, i: (hh, j, 0), memory_space=pltpu.VMEM
+    )
+    dkv_in_specs = [
+        pl.BlockSpec(
+            (1, block_q, d), lambda hh, j, i: (hh, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, block_kv, d), lambda hh, j, i, g=g: (hh // g, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, block_kv, d), lambda hh, j, i, g=g: (hh // g, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (block_q, 4), lambda hh, j, i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (block_kv, 4), lambda hh, j, i: (j, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (1, block_q, d), lambda hh, j, i: (hh, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, block_q, 128), lambda hh, j, i: (hh, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, block_q, 128), lambda hh, j, i: (hh, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    dkh, dvh = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dkv_kernel, scale=scale, n_q_blocks=n_q
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((h, skv_p, d), kp.dtype),
+            jax.ShapeDtypeStruct((h, skv_p, d), vp.dtype),
+        ],
+        grid=(h, n_kv, n_q),
+        in_specs=dkv_in_specs,
+        out_specs=[kv_out_spec, kv_out_spec],
+        scratch_shapes=[
+            pltpu.VMEM((block_kv, d), jnp.float32),
+            pltpu.VMEM((block_kv, d), jnp.float32),
+        ],
+        compiler_params=_SEMANTICS,
+        interpret=interpret,
+    )(*args)
+    dk = dkh.reshape(kvh, g, skv_p, d).sum(axis=1).astype(kp.dtype)
+    dv = dvh.reshape(kvh, g, skv_p, d).sum(axis=1).astype(vp.dtype)
+
+    import numpy as np
+
+    f0 = jax.dtypes.float0
+    return (
+        dq, dk, dv,
+        np.zeros(qm.shape, dtype=f0), np.zeros(km.shape, dtype=f0),
+    )
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
 
 
 def flash_segment_attention(
@@ -125,7 +445,6 @@ def flash_segment_attention(
 ) -> jax.Array:
     s_q, h, d = q.shape
     s_kv, kvh, _ = k.shape
-    g = h // kvh
     if scale is None:
         scale = d ** -0.5
 
@@ -150,47 +469,5 @@ def flash_segment_attention(
     qm = pad_to(qm, sq_p, 0, value=-2)
     km = pad_to(km, skv_p, 0, value=-1)
 
-    n_q = sq_p // block_q
-    n_kv = skv_p // block_kv
-
-    kernel = functools.partial(_flash_kernel, scale=scale, n_kv_blocks=n_kv)
-
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((h, sq_p, d), v.dtype),
-        grid=(h, n_q, n_kv),
-        in_specs=[
-            pl.BlockSpec(
-                (1, block_q, d), lambda hh, i, j: (hh, i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, block_kv, d), lambda hh, i, j, g=g: (hh // g, j, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, block_kv, d), lambda hh, i, j, g=g: (hh // g, j, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (block_q, 4), lambda hh, i, j: (i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (block_kv, 4), lambda hh, i, j: (j, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, block_q, d), lambda hh, i, j: (hh, i, 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(qp, kp, vp, qm, km)
-
+    out = _flash(qp, kp, vp, qm, km, scale, block_q, block_kv, interpret)
     return jnp.swapaxes(out, 0, 1)[:s_q]
