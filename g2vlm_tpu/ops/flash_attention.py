@@ -47,7 +47,9 @@ def _flash_kernel(
     k_ref,  # (1, BK, D)
     v_ref,  # (1, BK, D)
     qm_ref,  # (BQ, 4) int32 metadata: doc, fn, noise, pos
-    km_ref,  # (BK, 4)
+    km_ref,  # (4, BK) — TRANSPOSED so each field is a lane row; slicing
+             # (BK, 4) columns into (1, BK) rows would be a sublane->lane
+             # relayout that makes Mosaic spill ~130MB of registers
     o_ref,  # (1, BQ, D)
     m_scr,  # (BQ, 128) fp32 running max (lane-broadcast)
     l_scr,  # (BQ, 128) fp32 running sum
@@ -76,11 +78,10 @@ def _flash_kernel(
     ) * scale  # (BQ, BK)
 
     qm = qm_ref[:]  # (BQ, 4)
-    km = km_ref[:]  # (BK, 4)
+    km = km_ref[:]  # (4, BK)
     mask = _mask_rule(
         qm[:, 0:1], qm[:, 1:2], qm[:, 2:3], qm[:, 3:4],
-        km[:, 0].reshape(1, -1), km[:, 1].reshape(1, -1),
-        km[:, 2].reshape(1, -1), km[:, 3].reshape(1, -1),
+        km[0:1, :], km[1:2, :], km[2:3, :], km[3:4, :],
     )
     s = jnp.where(mask, s, NEG_INF)
 
@@ -131,15 +132,14 @@ def _flash_kernel_lse(
 
 
 def _recompute_p(q, k, qm, km, lse, scale):
-    """(BQ,D),(BK,D) -> masked softmax probabilities (BQ,BK), fp32."""
+    """(BQ,D),(BK,D), km (4,BK) -> masked softmax probs (BQ,BK), fp32."""
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale
     mask = _mask_rule(
         qm[:, 0:1], qm[:, 1:2], qm[:, 2:3], qm[:, 3:4],
-        km[:, 0].reshape(1, -1), km[:, 1].reshape(1, -1),
-        km[:, 2].reshape(1, -1), km[:, 3].reshape(1, -1),
+        km[0:1, :], km[1:2, :], km[2:3, :], km[3:4, :],
     )
     p = jnp.exp(jnp.where(mask, s, NEG_INF) - lse)
     return jnp.where(mask, p, 0.0)
@@ -256,7 +256,7 @@ def _meta_specs(block_q, block_kv):
             (block_q, 4), lambda hh, i, j: (i, 0), memory_space=pltpu.VMEM
         ),
         pl.BlockSpec(
-            (block_kv, 4), lambda hh, i, j: (j, 0), memory_space=pltpu.VMEM
+            (4, block_kv), lambda hh, i, j: (0, j), memory_space=pltpu.VMEM
         ),
     ]
 
@@ -384,7 +384,7 @@ def _flash_bwd(scale, block_q, block_kv, interpret, res, do):
             (block_q, 4), lambda hh, j, i: (i, 0), memory_space=pltpu.VMEM
         ),
         pl.BlockSpec(
-            (block_kv, 4), lambda hh, j, i: (j, 0), memory_space=pltpu.VMEM
+            (4, block_kv), lambda hh, j, i: (0, j), memory_space=pltpu.VMEM
         ),
         pl.BlockSpec(
             (1, block_q, d), lambda hh, j, i: (hh, i, 0),
@@ -464,10 +464,10 @@ def flash_segment_attention(
     kp = pad_to(jnp.swapaxes(k, 0, 1), skv_p, 1)  # (KVH, S_kv, D)
     vp = pad_to(jnp.swapaxes(v, 0, 1), skv_p, 1)
     qm = _pack_meta(q_info)
-    km = _pack_meta(kv_info)
+    km = _pack_meta(kv_info).T  # (4, S_kv): fields in lanes (see kernel note)
     # pad query meta doc=-2 (never matches), kv meta doc=-1
     qm = pad_to(qm, sq_p, 0, value=-2)
-    km = pad_to(km, skv_p, 0, value=-1)
+    km = pad_to(km, skv_p, 1, value=-1)
 
     out = _flash(qp, kp, vp, qm, km, scale, block_q, block_kv, interpret)
     return jnp.swapaxes(out, 0, 1)[:s_q]
