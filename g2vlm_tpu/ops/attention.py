@@ -165,11 +165,11 @@ def segment_attention(
         import os
 
         on_tpu = jax.default_backend() == "tpu"
-        # NOTE: the tunneled axon TPU backend currently miscompiles/hangs on
-        # Pallas kernels (even trivial ones), so "auto" prefers the blockwise
-        # XLA path; set G2VLM_ATTN=pallas to opt in on real TPU hosts.
-        prefer_pallas = os.environ.get("G2VLM_ATTN", "") == "pallas"
-        if on_tpu and prefer_pallas and q.shape[0] * k.shape[0] >= 512 * 512:
+        # The Pallas kernel is ~1.9x the blockwise-XLA path at 25k-token
+        # prefill shape (fixed after the KV-metadata relayout spill — see
+        # flash_attention.py). G2VLM_ATTN=chunked opts out.
+        pallas_ok = os.environ.get("G2VLM_ATTN", "pallas") == "pallas"
+        if on_tpu and pallas_ok and q.shape[0] * k.shape[0] >= 4096 * 4096:
             impl = "pallas"
         elif q.shape[0] * k.shape[0] <= 2048 * 2048:
             impl = "dense"

@@ -440,9 +440,11 @@ def flash_segment_attention(
     kv_info: TokenInfo,
     scale: Optional[float] = None,
     block_q: int = 512,
-    block_kv: int = 512,
+    block_kv: int = 1536,
     interpret: bool = False,
 ) -> jax.Array:
+    """Defaults (512, 1536) from a v5e sweep at the 32-view prefill shape
+    (25088 tokens): 75.6 ms vs 144.8 ms blockwise-XLA -> 1.92x."""
     s_q, h, d = q.shape
     s_kv, kvh, _ = k.shape
     if scale is None:
