@@ -40,3 +40,33 @@ def test_param_sharding_actually_shards():
     assert len(emb.sharding.device_set) == 8
     shard_shapes = {s.data.shape for s in emb.addressable_shards}
     assert all(np.prod(s) < np.prod(emb.shape) for s in shard_shapes)
+
+
+def test_sequence_parallel_attention_matches_single(rng):
+    """SP attention (q sharded over 8 devices, KV all-gathered) == the
+    single-device segment attention, bit-for-pattern across mask regimes."""
+    import jax
+    from jax.sharding import Mesh
+
+    from g2vlm_tpu.ops.attention import segment_attention
+    from g2vlm_tpu.ops.masks import make_token_info_np
+    from g2vlm_tpu.parallel.sequence import sequence_parallel_attention
+
+    S, H, KVH, D = 256, 4, 2, 32
+    q = jnp.asarray(rng.standard_normal((S, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((S, KVH, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((S, KVH, D)), jnp.float32)
+    info = make_token_info_np(
+        [100, 156], [40, 60, 56, 100], ["causal", "full", "causal", "full"]
+    )
+
+    ref = segment_attention(q, k, v, info, info, impl="dense")
+
+    devs = np.asarray(jax.devices()[:8])
+    mesh = Mesh(devs, ("sp",))
+    got = sequence_parallel_attention(
+        q, k, v, info, info, mesh, axis_name="sp", impl="dense"
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4
+    )
