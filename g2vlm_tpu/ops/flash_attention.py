@@ -31,6 +31,65 @@ from .masks import TokenInfo
 
 NEG_INF = -1e30
 
+# per-(q-block, kv-block) visibility classification, computed host/XLA-side
+# from block min/max of the token metadata and prefetched into SMEM. The
+# kernels skip SKIP tiles entirely (no MXU/VPU work) and drop the ~10-op/
+# element mask rule on FULL tiles — at the 32-view recon prefill ~97% of
+# tiles are FULL, for training packs most cross-document tiles are SKIP.
+BLOCK_SKIP, BLOCK_PARTIAL, BLOCK_FULL = 0, 1, 2
+
+
+def _block_codes(qm, km_t, block_q, block_kv):
+    """(Sq,4) q meta + (4,Skv) kv meta -> (n_q, n_kv) int32 tile codes.
+
+    Conservative: FULL only when every pair in the tile is provably visible,
+    SKIP only when provably invisible (disjoint doc-id ranges); PARTIAL
+    otherwise falls back to the in-kernel mask rule."""
+    n_q = qm.shape[0] // block_q
+    n_kv = km_t.shape[1] // block_kv
+
+    def qstats(col):
+        xb = qm[:, col].reshape(n_q, block_q)
+        return xb.min(1)[:, None], xb.max(1)[:, None]  # (n_q, 1)
+
+    def kstats(row):
+        xb = km_t[row].reshape(n_kv, block_kv)
+        return xb.min(1)[None, :], xb.max(1)[None, :]  # (1, n_kv)
+
+    dq_lo, dq_hi = qstats(0)
+    fq_lo, fq_hi = qstats(1)
+    nq_lo, nq_hi = qstats(2)
+    pq_lo, _ = qstats(3)
+    dk_lo, dk_hi = kstats(0)
+    fk_lo, fk_hi = kstats(1)
+    nk_lo, nk_hi = kstats(2)
+    _, pk_hi = kstats(3)
+
+    same_doc_all = (
+        (dq_lo == dq_hi) & (dk_lo == dk_hi) & (dq_lo == dk_lo) & (dq_lo >= 0)
+    )
+    full_all = (
+        (fq_lo == fq_hi) & (fk_lo == fk_hi) & (fq_lo == fk_lo) & (fq_lo >= 0)
+    )
+    causal_all = pk_hi <= pq_lo
+    noise_ok_all = (nk_hi < 0) | (
+        (nq_lo == nq_hi) & (nk_lo == nk_hi) & (nq_lo == nk_lo)
+    )
+    full = same_doc_all & (full_all | causal_all) & noise_ok_all
+    # provably invisible: doc-id ranges disjoint (or all padding), or the
+    # tile lies strictly above the causal diagonal with no full-attention
+    # spans on either side (fn < 0 everywhere)
+    overlap = (dq_hi >= dk_lo) & (dk_hi >= dq_lo) & (dq_hi >= 0) & (dk_hi >= 0)
+    _, pq_hi = qstats(3)
+    pk_lo, _ = kstats(3)
+    causal_none = pk_lo > pq_hi
+    full_none = (fq_hi < 0) | (fk_hi < 0)
+    visible_none = (~overlap) | (causal_none & full_none)
+    codes = jnp.where(
+        full, BLOCK_FULL, jnp.where(visible_none, BLOCK_SKIP, BLOCK_PARTIAL)
+    )
+    return codes.astype(jnp.int32)
+
 
 def _mask_rule(dq, fq, nq, pq, dk, fk, nk, pk):
     """(BQ,1) q fields vs (1,BK) kv fields -> (BQ,BK) bool. Same rule as
@@ -42,7 +101,39 @@ def _mask_rule(dq, fq, nq, pq, dk, fk, nk, pk):
     return same_doc & (causal | full) & not_hidden_noise
 
 
+def _tile_mask(qm_ref, km_ref):
+    qm = qm_ref[:]  # (BQ, 4)
+    km = km_ref[:]  # (4, BK)
+    return _mask_rule(
+        qm[:, 0:1], qm[:, 1:2], qm[:, 2:3], qm[:, 3:4],
+        km[0:1, :], km[1:2, :], km[2:3, :], km[3:4, :],
+    )
+
+
+def _online_softmax_update(s, mask, v, m_scr, l_scr, acc_scr):
+    """One kv-tile contribution to the running (m, l, acc) statistics.
+    mask=None on BLOCK_FULL tiles skips all masking VPU work."""
+    m_prev = m_scr[:, :1]  # (BQ, 1)
+    m_cur = jnp.max(s, axis=1, keepdims=True)  # (BQ, 1)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)
+    if mask is not None:
+        p = jnp.where(mask, p, 0.0)
+    alpha = jnp.exp(m_prev - m_new)  # (BQ, 1)
+
+    l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype),
+        v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+
 def _flash_kernel(
+    codes_ref,  # (n_q, n_kv) int32 in SMEM (scalar prefetch)
     q_ref,  # (1, BQ, D)
     k_ref,  # (1, BK, D)
     v_ref,  # (1, BK, D)
@@ -58,7 +149,9 @@ def _flash_kernel(
     scale: float,
     n_kv_blocks: int,
 ):
+    i = pl.program_id(1)
     j = pl.program_id(2)
+    code = codes_ref[i, j]
 
     @pl.when(j == 0)
     def _():
@@ -66,41 +159,25 @@ def _flash_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
+    def scores():
+        return jax.lax.dot_general(
+            q_ref[0],
+            k_ref[0],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (BQ, BK)
 
-    s = jax.lax.dot_general(
-        q,
-        k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale  # (BQ, BK)
+    @pl.when(code == BLOCK_FULL)
+    def _():
+        _online_softmax_update(
+            scores(), None, v_ref[0], m_scr, l_scr, acc_scr
+        )
 
-    qm = qm_ref[:]  # (BQ, 4)
-    km = km_ref[:]  # (4, BK)
-    mask = _mask_rule(
-        qm[:, 0:1], qm[:, 1:2], qm[:, 2:3], qm[:, 3:4],
-        km[0:1, :], km[1:2, :], km[2:3, :], km[3:4, :],
-    )
-    s = jnp.where(mask, s, NEG_INF)
-
-    m_prev = m_scr[:, :1]  # (BQ, 1)
-    m_cur = jnp.max(s, axis=1, keepdims=True)  # (BQ, 1)
-    m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)
-    p = jnp.where(mask, p, 0.0)
-    alpha = jnp.exp(m_prev - m_new)  # (BQ, 1)
-
-    l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
-    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-        p.astype(v.dtype),
-        v,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
-    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+    @pl.when(code == BLOCK_PARTIAL)
+    def _():
+        mask = _tile_mask(qm_ref, km_ref)
+        s = jnp.where(mask, scores(), NEG_INF)
+        _online_softmax_update(s, mask, v_ref[0], m_scr, l_scr, acc_scr)
 
     @pl.when(j == n_kv_blocks - 1)
     def _():
@@ -110,13 +187,13 @@ def _flash_kernel(
 
 
 def _flash_kernel_lse(
-    q_ref, k_ref, v_ref, qm_ref, km_ref, o_ref, lse_ref,
+    codes_ref, q_ref, k_ref, v_ref, qm_ref, km_ref, o_ref, lse_ref,
     m_scr, l_scr, acc_scr, *, scale: float, n_kv_blocks: int,
 ):
     """Forward that also emits the per-row logsumexp (for the backward)."""
     _flash_kernel(
-        q_ref, k_ref, v_ref, qm_ref, km_ref, o_ref, m_scr, l_scr, acc_scr,
-        scale=scale, n_kv_blocks=n_kv_blocks,
+        codes_ref, q_ref, k_ref, v_ref, qm_ref, km_ref, o_ref,
+        m_scr, l_scr, acc_scr, scale=scale, n_kv_blocks=n_kv_blocks,
     )
     j = pl.program_id(2)
 
@@ -131,12 +208,14 @@ def _flash_kernel_lse(
         lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
-def _recompute_p(q, k, qm, km, lse, scale):
+def _recompute_p(q, k, qm, km, lse, scale, masked=True):
     """(BQ,D),(BK,D), km (4,BK) -> masked softmax probs (BQ,BK), fp32."""
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale
+    if not masked:
+        return jnp.exp(s - lse)
     mask = _mask_rule(
         qm[:, 0:1], qm[:, 1:2], qm[:, 2:3], qm[:, 3:4],
         km[0:1, :], km[1:2, :], km[2:3, :], km[3:4, :],
@@ -146,35 +225,45 @@ def _recompute_p(q, k, qm, km, lse, scale):
 
 
 def _flash_bwd_dq_kernel(
-    q_ref, k_ref, v_ref, qm_ref, km_ref, do_ref, lse_ref, delta_ref,
-    dq_ref, dq_scr, *, scale: float, n_kv_blocks: int,
+    codes_ref, q_ref, k_ref, v_ref, qm_ref, km_ref, do_ref, lse_ref,
+    delta_ref, dq_ref, dq_scr, *, scale: float, n_kv_blocks: int,
 ):
     """grid (h, n_q, n_kv): accumulate dq over kv blocks.
 
     dS = P * (dO @ V^T - delta); dQ = dS @ K * scale."""
+    i = pl.program_id(1)
     j = pl.program_id(2)
+    code = codes_ref[i, j]
 
     @pl.when(j == 0)
     def _():
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    do = do_ref[0]
-    lse = lse_ref[0][:, :1]
-    delta = delta_ref[0][:, :1]
+    def tile(masked):
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0]
+        lse = lse_ref[0][:, :1]
+        delta = delta_ref[0][:, :1]
+        p = _recompute_p(q, k, qm_ref[:], km_ref[:], lse, scale, masked)
+        dp = jax.lax.dot_general(
+            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta)
+        dq_scr[:] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
 
-    p = _recompute_p(q, k, qm_ref[:], km_ref[:], lse, scale)
-    dp = jax.lax.dot_general(
-        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    ds = p * (dp - delta)
-    dq_scr[:] += jax.lax.dot_general(
-        ds.astype(k.dtype), k, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale
+    @pl.when(code == BLOCK_FULL)
+    def _():
+        tile(False)
+
+    @pl.when(code == BLOCK_PARTIAL)
+    def _():
+        tile(True)
 
     @pl.when(j == n_kv_blocks - 1)
     def _():
@@ -182,41 +271,53 @@ def _flash_bwd_dq_kernel(
 
 
 def _flash_bwd_dkv_kernel(
-    q_ref, k_ref, v_ref, qm_ref, km_ref, do_ref, lse_ref, delta_ref,
-    dk_ref, dv_ref, dk_scr, dv_scr, *, scale: float, n_q_blocks: int,
+    codes_ref, q_ref, k_ref, v_ref, qm_ref, km_ref, do_ref, lse_ref,
+    delta_ref, dk_ref, dv_ref, dk_scr, dv_scr,
+    *, scale: float, n_q_blocks: int,
 ):
     """grid (h, n_kv, n_q): accumulate per-Q-HEAD dk/dv over q blocks
     (GQA group reduction happens outside the kernel).
 
     dV = P^T @ dO; dK = dS^T @ Q * scale."""
     i = pl.program_id(2)
+    code = codes_ref[i, pl.program_id(1)]
 
     @pl.when(i == 0)
     def _():
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    do = do_ref[0]
-    lse = lse_ref[0][:, :1]
-    delta = delta_ref[0][:, :1]
+    def tile(masked):
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0]
+        lse = lse_ref[0][:, :1]
+        delta = delta_ref[0][:, :1]
+        p = _recompute_p(q, k, qm_ref[:], km_ref[:], lse, scale, masked)
+        dv_scr[:] += jax.lax.dot_general(
+            p.astype(do.dtype), do,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta)  # (BQ, BK)
+        dk_scr[:] += jax.lax.dot_general(
+            ds.astype(q.dtype), q,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
 
-    p = _recompute_p(q, k, qm_ref[:], km_ref[:], lse, scale)  # (BQ, BK)
-    dv_scr[:] += jax.lax.dot_general(
-        p.astype(do.dtype), do, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dp = jax.lax.dot_general(
-        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    ds = p * (dp - delta)  # (BQ, BK)
-    dk_scr[:] += jax.lax.dot_general(
-        ds.astype(q.dtype), q, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale
+    @pl.when(code == BLOCK_FULL)
+    def _():
+        tile(False)
+
+    @pl.when(code == BLOCK_PARTIAL)
+    def _():
+        tile(True)
 
     @pl.when(i == n_q_blocks - 1)
     def _():
@@ -232,13 +333,13 @@ def _pack_meta(info: TokenInfo) -> jax.Array:
 
 def _q_spec(block_q, d):
     return pl.BlockSpec(
-        (1, block_q, d), lambda hh, i, j: (hh, i, 0), memory_space=pltpu.VMEM
+        (1, block_q, d), lambda hh, i, j, *_: (hh, i, 0), memory_space=pltpu.VMEM
     )
 
 
 def _kv_spec(block_kv, d, g):
     return pl.BlockSpec(
-        (1, block_kv, d), lambda hh, i, j, g=g: (hh // g, j, 0),
+        (1, block_kv, d), lambda hh, i, j, *_, g=g: (hh // g, j, 0),
         memory_space=pltpu.VMEM,
     )
 
@@ -246,17 +347,17 @@ def _kv_spec(block_kv, d, g):
 def _row_spec(block_q):
     # (H, S_q, 128) lane-broadcast per-row statistics (lse / delta)
     return pl.BlockSpec(
-        (1, block_q, 128), lambda hh, i, j: (hh, i, 0), memory_space=pltpu.VMEM
+        (1, block_q, 128), lambda hh, i, j, *_: (hh, i, 0), memory_space=pltpu.VMEM
     )
 
 
 def _meta_specs(block_q, block_kv):
     return [
         pl.BlockSpec(
-            (block_q, 4), lambda hh, i, j: (i, 0), memory_space=pltpu.VMEM
+            (block_q, 4), lambda hh, i, j, *_: (i, 0), memory_space=pltpu.VMEM
         ),
         pl.BlockSpec(
-            (4, block_kv), lambda hh, i, j: (0, j), memory_space=pltpu.VMEM
+            (4, block_kv), lambda hh, i, j, *_: (0, j), memory_space=pltpu.VMEM
         ),
     ]
 
@@ -273,6 +374,7 @@ def _fwd_pallas(qp, kp, vp, qm, km, scale, block_q, block_kv, interpret,
     n_q = sq_p // block_q
     n_kv = skv_p // block_kv
     g = h // kp.shape[0]
+    codes = _block_codes(qm, km, block_q, block_kv)
     if with_lse:
         kernel = functools.partial(
             _flash_kernel_lse, scale=scale, n_kv_blocks=n_kv
@@ -288,9 +390,8 @@ def _fwd_pallas(qp, kp, vp, qm, km, scale, block_q, block_kv, interpret,
         )
         out_shape = jax.ShapeDtypeStruct((h, sq_p, d), vp.dtype)
         out_specs = _q_spec(block_q, d)
-    return pl.pallas_call(
-        kernel,
-        out_shape=out_shape,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(h, n_q, n_kv),
         in_specs=[
             _q_spec(block_q, d),
@@ -304,9 +405,14 @@ def _fwd_pallas(qp, kp, vp, qm, km, scale, block_q, block_kv, interpret,
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid_spec=grid_spec,
         compiler_params=_SEMANTICS,
         interpret=interpret,
-    )(qp, kp, vp, qm, km)
+    )(codes, qp, kp, vp, qm, km)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
@@ -339,7 +445,8 @@ def _flash_bwd(scale, block_q, block_kv, interpret, res, do):
     )
     delta = jnp.broadcast_to(delta, (h, sq_p, 128))
 
-    args = (qp, kp, vp, qm, km, do, lse, delta)
+    codes = _block_codes(qm, km, block_q, block_kv)
+    args = (codes, qp, kp, vp, qm, km, do, lse, delta)
     in_specs = [
         _q_spec(block_q, d),
         _kv_spec(block_kv, d, g),
@@ -355,47 +462,50 @@ def _flash_bwd(scale, block_q, block_kv, interpret, res, do):
             _flash_bwd_dq_kernel, scale=scale, n_kv_blocks=n_kv
         ),
         out_shape=jax.ShapeDtypeStruct((h, sq_p, d), qp.dtype),
-        grid=(h, n_q, n_kv),
-        in_specs=in_specs,
-        out_specs=_q_spec(block_q, d),
-        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(h, n_q, n_kv),
+            in_specs=in_specs,
+            out_specs=_q_spec(block_q, d),
+            scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        ),
         compiler_params=_SEMANTICS,
         interpret=interpret,
     )(*args)
 
     # dk/dv per Q head (grid iterates q blocks innermost), then GQA-sum
     kv_out_spec = pl.BlockSpec(
-        (1, block_kv, d), lambda hh, j, i: (hh, j, 0), memory_space=pltpu.VMEM
+        (1, block_kv, d), lambda hh, j, i, *_: (hh, j, 0), memory_space=pltpu.VMEM
     )
     dkv_in_specs = [
         pl.BlockSpec(
-            (1, block_q, d), lambda hh, j, i: (hh, i, 0),
+            (1, block_q, d), lambda hh, j, i, *_: (hh, i, 0),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
-            (1, block_kv, d), lambda hh, j, i, g=g: (hh // g, j, 0),
+            (1, block_kv, d), lambda hh, j, i, *_, g=g: (hh // g, j, 0),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
-            (1, block_kv, d), lambda hh, j, i, g=g: (hh // g, j, 0),
+            (1, block_kv, d), lambda hh, j, i, *_, g=g: (hh // g, j, 0),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
-            (block_q, 4), lambda hh, j, i: (i, 0), memory_space=pltpu.VMEM
+            (block_q, 4), lambda hh, j, i, *_: (i, 0), memory_space=pltpu.VMEM
         ),
         pl.BlockSpec(
-            (4, block_kv), lambda hh, j, i: (0, j), memory_space=pltpu.VMEM
+            (4, block_kv), lambda hh, j, i, *_: (0, j), memory_space=pltpu.VMEM
         ),
         pl.BlockSpec(
-            (1, block_q, d), lambda hh, j, i: (hh, i, 0),
+            (1, block_q, d), lambda hh, j, i, *_: (hh, i, 0),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
-            (1, block_q, 128), lambda hh, j, i: (hh, i, 0),
+            (1, block_q, 128), lambda hh, j, i, *_: (hh, i, 0),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
-            (1, block_q, 128), lambda hh, j, i: (hh, i, 0),
+            (1, block_q, 128), lambda hh, j, i, *_: (hh, i, 0),
             memory_space=pltpu.VMEM,
         ),
     ]
@@ -407,13 +517,16 @@ def _flash_bwd(scale, block_q, block_kv, interpret, res, do):
             jax.ShapeDtypeStruct((h, skv_p, d), kp.dtype),
             jax.ShapeDtypeStruct((h, skv_p, d), vp.dtype),
         ],
-        grid=(h, n_kv, n_q),
-        in_specs=dkv_in_specs,
-        out_specs=[kv_out_spec, kv_out_spec],
-        scratch_shapes=[
-            pltpu.VMEM((block_kv, d), jnp.float32),
-            pltpu.VMEM((block_kv, d), jnp.float32),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(h, n_kv, n_q),
+            in_specs=dkv_in_specs,
+            out_specs=[kv_out_spec, kv_out_spec],
+            scratch_shapes=[
+                pltpu.VMEM((block_kv, d), jnp.float32),
+                pltpu.VMEM((block_kv, d), jnp.float32),
+            ],
+        ),
         compiler_params=_SEMANTICS,
         interpret=interpret,
     )(*args)

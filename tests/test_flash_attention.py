@@ -135,3 +135,40 @@ def test_flash_kernel_backward_padding(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-3
         )
+
+
+def test_block_codes_classification():
+    """The tile classifier must mark the recon-prefill layout (text prefix +
+    big full-attention dino span) as mostly FULL, strictly-above-diagonal
+    causal text tiles as SKIP, and boundary tiles as PARTIAL."""
+    from g2vlm_tpu.ops.flash_attention import (
+        BLOCK_FULL, BLOCK_PARTIAL, BLOCK_SKIP, _block_codes, _pack_meta,
+    )
+
+    S, B = 512, 128
+    # doc 0 everywhere; tokens [0,256) causal text (fn -1), [256,512) full
+    info = make_token_info_np([S], [256, 256], ["causal", "full"])
+    qm = _pack_meta(info)
+    km = np.asarray(qm).T
+    codes = np.asarray(_block_codes(qm, jnp.asarray(km), B, B))
+    # diagonal text tiles: partial (causal within)
+    assert codes[0, 0] == BLOCK_PARTIAL and codes[1, 1] == BLOCK_PARTIAL
+    # below-diagonal text tile: fully causal-visible
+    assert codes[1, 0] == BLOCK_FULL
+    # above-diagonal text-vs-text: provably invisible
+    assert codes[0, 1] == BLOCK_SKIP
+    # dino-vs-dino tiles: same fn -> full
+    assert codes[2, 2] == BLOCK_FULL and codes[3, 2] == BLOCK_FULL
+    # dino rows see text history causally (pos below) -> full
+    assert codes[2, 0] == BLOCK_FULL
+    # text rows vs later dino keys: fq=-1 can never full-match and causal is
+    # impossible (pk > pq) -> provably invisible
+    assert codes[0, 2] == BLOCK_SKIP
+
+    # two documents: cross-doc tiles are SKIP
+    info2 = make_token_info_np([256, 256], [256, 256], ["causal", "causal"])
+    qm2 = _pack_meta(info2)
+    codes2 = np.asarray(
+        _block_codes(qm2, jnp.asarray(np.asarray(qm2).T), B, B)
+    )
+    assert codes2[0, 2] == BLOCK_SKIP and codes2[2, 0] == BLOCK_SKIP
