@@ -174,6 +174,15 @@ def encode(
     hd = cfg.head_dim
     eps = cfg.layer_norm_eps
 
+    # Per-view attention, two formulations of the same math:
+    #  * dense (B, S, S) batched — CPU / small inputs;
+    #  * Pallas batched flash (ops/flash_attention.flash_batched_attention)
+    #    on TPU — the dense path's fp32 logit tensors are the dino encoder's
+    #    HBM bottleneck at many views; the kernel never materializes them.
+    use_flash = jax.default_backend() == "tpu" and b * s * s >= 64 * 512 * 512
+    if use_flash:
+        from ..ops.flash_attention import flash_batched_attention
+
     def lin(x, p):
         return x @ p["w"].astype(compute_dtype) + p["b"].astype(compute_dtype)
 
@@ -182,8 +191,11 @@ def encode(
         q = lin(h1, lp["q"]).reshape(b, s, nh, hd)
         k = lin(h1, lp["k"]).reshape(b, s, nh, hd)
         v = lin(h1, lp["v"]).reshape(b, s, nh, hd)
-        attn = dense_attention(q, k, v).reshape(b, s, d)
-        attn = lin(attn, lp["o"])
+        if use_flash:
+            attn = flash_batched_attention(q, k, v)
+        else:
+            attn = dense_attention(q, k, v)
+        attn = lin(attn.reshape(b, s, d), lp["o"])
         x = x + attn * lp["ls1"].astype(compute_dtype)
         h2 = layer_norm(x, lp["norm2"]["w"], lp["norm2"]["b"], eps)
         h2 = lin(h2, lp["fc1"])

@@ -47,6 +47,24 @@ def patch_positions(n: int, hp: int, wp: int) -> jax.Array:
     return jnp.broadcast_to(jnp.asarray(grid), (n, hp * wp, 2))
 
 
+def _use_flash(b, s, m=None):
+    """Pallas batched kernel on TPU once the dense fp32 logit tensors would
+    dominate HBM traffic (same dispatch rule as models/dinov2.py)."""
+    return (
+        jax.default_backend() == "tpu"
+        and b * s * (m if m is not None else s) >= 64 * 512 * 512
+    )
+
+
+def _attend(q, k, v):
+    # q, k, v: (B, S, H, D)
+    if _use_flash(q.shape[0], q.shape[1], k.shape[1]):
+        from ..ops.flash_attention import flash_batched_attention
+
+        return flash_batched_attention(q, k, v)
+    return dense_attention(q, k, v)
+
+
 def _self_attn(x, lp, cos, sin, num_heads, dtype):
     """Fused-QKV self attention with RoPE2D (reference FlashAttentionRope,
     attention.py:357-381; qk_norm is disabled in the Pi3 heads)."""
@@ -56,7 +74,7 @@ def _self_attn(x, lp, cos, sin, num_heads, dtype):
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
     q = apply_rope2d(q.transpose(0, 2, 1, 3), cos, sin)
     k = apply_rope2d(k.transpose(0, 2, 1, 3), cos, sin)
-    out = dense_attention(
+    out = _attend(
         q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v
     ).reshape(b, s, d)
     return _lin(out, lp["proj"], dtype)
@@ -73,7 +91,7 @@ def _cross_attn(x, y, lp, cos_q, sin_q, cos_k, sin_k, num_heads, dtype):
     v = _lin(y, lp["v"], dtype).reshape(b, m, num_heads, hd)
     q = apply_rope2d(q.transpose(0, 2, 1, 3), cos_q, sin_q).transpose(0, 2, 1, 3)
     k = apply_rope2d(k.transpose(0, 2, 1, 3), cos_k, sin_k).transpose(0, 2, 1, 3)
-    out = dense_attention(q, k, v).reshape(b, s, d)
+    out = _attend(q, k, v).reshape(b, s, d)
     return _lin(out, lp["proj"], dtype)
 
 

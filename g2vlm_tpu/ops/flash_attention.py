@@ -586,3 +586,336 @@ def flash_segment_attention(
 
     out = _flash(qp, kp, vp, qm, km, scale, block_q, block_kv, interpret)
     return jnp.swapaxes(out, 0, 1)[:s_q]
+
+
+# ---------------------------------------------------------------------------
+# Batched bidirectional flash attention (vision encoders / Pi3 heads).
+#
+# The segment kernel above iterates a global (n_q, n_kv) tile grid; for
+# per-view attention (dinov2/dinov3/qwen-vit frames, Pi3 head blocks) ~97%
+# of tiles are cross-view SKIPs whose K/V blocks the pipeliner still DMAs —
+# fetch-bound. Here the grid is (B, H, n_q, n_kv) WITHIN each view, so no
+# dead tiles exist. Keys padded past `s_real` are masked with an iota
+# compare (queries in padding produce garbage rows that the caller slices
+# off). Reference behavior: per-view flash_attn_varlen windows
+# (dinov2_model.py:49, modeling_qwen2_vl.py:400) / SDPA (pi3 attention.py).
+# ---------------------------------------------------------------------------
+
+
+def _batched_flash_kernel(
+    q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
+    *, scale: float, n_kv_blocks: int, s_real: int, block_kv: int,
+):
+    j = pl.program_id(3)
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    s = jax.lax.dot_general(
+        q_ref[0, 0],
+        k_ref[0, 0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (BQ, BK)
+    if s_real % block_kv:
+        # only the final kv block contains padding keys
+        col = j * block_kv + jax.lax.broadcasted_iota(
+            jnp.int32, (1, block_kv), 1
+        )
+        s = jnp.where(col < s_real, s, NEG_INF)
+    _online_softmax_update(s, None, v_ref[0, 0], m_scr, l_scr, acc_scr)
+
+    @pl.when(j == n_kv_blocks - 1)
+    def _():
+        l = l_scr[:, :1]
+        out = acc_scr[:] / jnp.maximum(l, 1e-30)
+        o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+def _batched_flash_kernel_lse(
+    q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+    *, scale: float, n_kv_blocks: int, s_real: int, block_kv: int,
+):
+    _batched_flash_kernel(
+        q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
+        scale=scale, n_kv_blocks=n_kv_blocks, s_real=s_real,
+        block_kv=block_kv,
+    )
+    j = pl.program_id(3)
+
+    @pl.when(j == n_kv_blocks - 1)
+    def _():
+        m = m_scr[:, :1]
+        l = l_scr[:, :1]
+        lse = jnp.where(l > 0.0, m + jnp.log(jnp.maximum(l, 1e-30)), NEG_INF)
+        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+
+
+def _batched_p(q, k, lse, scale, j, s_real, block_kv):
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    if s_real % block_kv:
+        col = j * block_kv + jax.lax.broadcasted_iota(
+            jnp.int32, (1, block_kv), 1
+        )
+        s = jnp.where(col < s_real, s, NEG_INF)
+    return jnp.exp(s - lse)
+
+
+def _batched_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scr,
+    *, scale: float, n_kv_blocks: int, s_real: int, block_kv: int,
+):
+    j = pl.program_id(3)
+
+    @pl.when(j == 0)
+    def _():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    p = _batched_p(
+        q_ref[0, 0], k_ref[0, 0], lse_ref[0, 0][:, :1], scale, j, s_real,
+        block_kv,
+    )
+    dp = jax.lax.dot_general(
+        do_ref[0, 0], v_ref[0, 0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta_ref[0, 0][:, :1])
+    dq_scr[:] += jax.lax.dot_general(
+        ds.astype(k_ref.dtype), k_ref[0, 0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+
+    @pl.when(j == n_kv_blocks - 1)
+    def _():
+        dq_ref[0, 0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _batched_bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    dk_scr, dv_scr,
+    *, scale: float, n_q_blocks: int, s_real: int, block_kv: int,
+):
+    i = pl.program_id(3)
+    j = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0, 0]
+    do = do_ref[0, 0]
+    p = _batched_p(
+        q, k_ref[0, 0], lse_ref[0, 0][:, :1], scale, j, s_real, block_kv
+    )
+    dv_scr[:] += jax.lax.dot_general(
+        p.astype(do.dtype), do, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        do, v_ref[0, 0], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta_ref[0, 0][:, :1])
+    dk_scr[:] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+
+    @pl.when(i == n_q_blocks - 1)
+    def _():
+        dk_ref[0, 0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _batched_specs(block_q, block_kv, d):
+    spec = pl.BlockSpec(
+        (1, 1, block_q, d), lambda bb, hh, i, j: (bb, hh, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    kv_spec = pl.BlockSpec(
+        (1, 1, block_kv, d), lambda bb, hh, i, j: (bb, hh, j, 0),
+        memory_space=pltpu.VMEM,
+    )
+    row_spec = pl.BlockSpec(
+        (1, 1, block_q, 128), lambda bb, hh, i, j: (bb, hh, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    return spec, kv_spec, row_spec
+
+
+_BATCHED_SEMANTICS = pltpu.CompilerParams(
+    dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+)
+
+
+def _batched_fwd(qp, kp, vp, scale, block_q, block_kv, s_real, interpret,
+                 with_lse):
+    b, h, s_pad, d = qp.shape
+    n_q = s_pad // block_q
+    n_kv = kp.shape[2] // block_kv
+    spec, kv_spec, row_spec = _batched_specs(block_q, block_kv, d)
+    kw = dict(
+        scale=scale, n_kv_blocks=n_kv, s_real=s_real, block_kv=block_kv
+    )
+    if with_lse:
+        kernel = functools.partial(_batched_flash_kernel_lse, **kw)
+        out_shape = [
+            jax.ShapeDtypeStruct((b, h, s_pad, d), vp.dtype),
+            jax.ShapeDtypeStruct((b, h, s_pad, 128), jnp.float32),
+        ]
+        out_specs = [spec, row_spec]
+    else:
+        kernel = functools.partial(_batched_flash_kernel, **kw)
+        out_shape = jax.ShapeDtypeStruct((b, h, s_pad, d), vp.dtype)
+        out_specs = spec
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid=(b, h, n_q, n_kv),
+        in_specs=[spec, kv_spec, kv_spec],
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=_BATCHED_SEMANTICS,
+        interpret=interpret,
+    )(qp, kp, vp)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _batched(qp, kp, vp, scale, block_q, block_kv, s_real, interpret):
+    return _batched_fwd(
+        qp, kp, vp, scale, block_q, block_kv, s_real, interpret, False
+    )
+
+
+def _batched_vjp_fwd(qp, kp, vp, scale, block_q, block_kv, s_real, interpret):
+    out, lse = _batched_fwd(
+        qp, kp, vp, scale, block_q, block_kv, s_real, interpret, True
+    )
+    return out, (qp, kp, vp, out, lse)
+
+
+def _batched_vjp_bwd(scale, block_q, block_kv, s_real, interpret, res, do):
+    qp, kp, vp, out, lse = res
+    b, h, s_pad, d = qp.shape
+    m_pad = kp.shape[2]
+    n_q = s_pad // block_q
+    n_kv = m_pad // block_kv
+    spec, kv_spec, row_spec = _batched_specs(block_q, block_kv, d)
+    delta = jnp.sum(
+        do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1,
+        keepdims=True,
+    )
+    delta = jnp.broadcast_to(delta, (b, h, s_pad, 128))
+    args = (qp, kp, vp, do, lse, delta)
+    in_specs = [spec, kv_spec, kv_spec, spec, row_spec, row_spec]
+    kw = dict(scale=scale, s_real=s_real, block_kv=block_kv)
+
+    dq = pl.pallas_call(
+        functools.partial(_batched_bwd_dq_kernel, n_kv_blocks=n_kv, **kw),
+        out_shape=jax.ShapeDtypeStruct((b, h, s_pad, d), qp.dtype),
+        grid=(b, h, n_q, n_kv),
+        in_specs=in_specs,
+        out_specs=spec,
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=_BATCHED_SEMANTICS,
+        interpret=interpret,
+    )(*args)
+
+    dkv_in_specs = [
+        pl.BlockSpec(
+            (1, 1, block_q, d), lambda bb, hh, j, i: (bb, hh, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, 1, block_kv, d), lambda bb, hh, j, i: (bb, hh, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, 1, block_kv, d), lambda bb, hh, j, i: (bb, hh, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, 1, block_q, d), lambda bb, hh, j, i: (bb, hh, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, 1, block_q, 128), lambda bb, hh, j, i: (bb, hh, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, 1, block_q, 128), lambda bb, hh, j, i: (bb, hh, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    kv_out = pl.BlockSpec(
+        (1, 1, block_kv, d), lambda bb, hh, j, i: (bb, hh, j, 0),
+        memory_space=pltpu.VMEM,
+    )
+    dk, dv = pl.pallas_call(
+        functools.partial(_batched_bwd_dkv_kernel, n_q_blocks=n_q, **kw),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, m_pad, d), kp.dtype),
+            jax.ShapeDtypeStruct((b, h, m_pad, d), vp.dtype),
+        ],
+        grid=(b, h, n_kv, n_q),
+        in_specs=dkv_in_specs,
+        out_specs=[kv_out, kv_out],
+        scratch_shapes=[
+            pltpu.VMEM((block_kv, d), jnp.float32),
+            pltpu.VMEM((block_kv, d), jnp.float32),
+        ],
+        compiler_params=_BATCHED_SEMANTICS,
+        interpret=interpret,
+    )(*args)
+    return dq, dk, dv
+
+
+_batched.defvjp(_batched_vjp_fwd, _batched_vjp_bwd)
+
+
+def flash_batched_attention(
+    q: jax.Array,  # (B, S, H, D)
+    k: jax.Array,  # (B, M, H, D) — M may differ (cross attention)
+    v: jax.Array,
+    scale: Optional[float] = None,
+    block_q: int = 256,
+    block_kv: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Full bidirectional (cross-)attention within each batch element, with
+    a custom-VJP Pallas backward (encoders train through it). Keys past M
+    are iota-masked; padded query rows are sliced off (their cotangents are
+    zero under autodiff, so the backward stays exact)."""
+    b, s_real, h, d = q.shape
+    m_real = k.shape[1]
+    if scale is None:
+        scale = d ** -0.5
+    block_q = min(block_q, s_real)
+    block_kv = min(block_kv, m_real)
+
+    def prep(x, real, block):
+        pad = -(-real // block) * block - real
+        x = jnp.swapaxes(x, 1, 2)  # (B, H, S, D)
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        return x
+
+    out = _batched(
+        prep(q, s_real, block_q), prep(k, m_real, block_kv),
+        prep(v, m_real, block_kv), scale, block_q, block_kv, m_real,
+        interpret,
+    )
+    return jnp.swapaxes(out, 1, 2)[:, :s_real]

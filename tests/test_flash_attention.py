@@ -172,3 +172,43 @@ def test_block_codes_classification():
         _block_codes(qm2, jnp.asarray(np.asarray(qm2).T), B, B)
     )
     assert codes2[0, 2] == BLOCK_SKIP and codes2[2, 0] == BLOCK_SKIP
+
+
+def test_batched_flash_matches_dense(rng):
+    """Batched (per-view) kernel: self + cross lengths, fwd and bwd, in
+    interpreter mode."""
+    import jax
+
+    from g2vlm_tpu.ops.attention import dense_attention
+    from g2vlm_tpu.ops.flash_attention import flash_batched_attention
+
+    B, S, M, H, D = 2, 200, 140, 4, 64
+    q = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, M, H, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, M, H, D)), jnp.float32)
+    co = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+
+    ref = dense_attention(q, k, v)
+    got = flash_batched_attention(
+        q, k, v, block_q=128, block_kv=128, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4
+    )
+
+    g_ref = jax.grad(
+        lambda q, k, v: jnp.sum(dense_attention(q, k, v) * co),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    g_fl = jax.grad(
+        lambda q, k, v: jnp.sum(
+            flash_batched_attention(
+                q, k, v, block_q=128, block_kv=128, interpret=True
+            ) * co
+        ),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b in zip(g_fl, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-3
+        )
