@@ -39,21 +39,22 @@ def main():
 
     pipe = G2VLMPipeline(params, cfg, compute_dtype=jnp.bfloat16)
 
-    # dl3dv-like views: 960x540 -> 518x294 (37x21 patches/view). Host image
-    # decode/resize happens once outside the timed loop; the metric is the
-    # device pipeline (normalize upload -> packed prefill -> 3D heads ->
-    # point-map fetch), matching "frames/sec/chip".
+    # dl3dv-like views at 518x294 (37x21 patches/view), fed as decoded uint8
+    # frames: the device pipeline is upload raw bytes -> fused cast/resize/
+    # RESNET-normalize -> packed prefill -> 3D heads -> point-map fetch,
+    # matching "frames/sec/chip". (Host JPEG decode is outside the metric,
+    # as in the reference's timing envelope.)
     rng = np.random.default_rng(0)
-    views = rng.random((n_views, 3, 294, 518)).astype(np.float32)
+    frames = rng.integers(0, 256, (n_views, 294, 518, 3), dtype=np.uint8)
 
     # warmup/compile
-    out = pipe.recon_from_views(views)
+    out = pipe.recon_from_frames(frames)
     np.asarray(out["points"][0, 0, 0])
 
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        out = pipe.recon_from_views(views)
+        out = pipe.recon_from_frames(frames)
         np.asarray(out["points"][0, 0, 0])  # device sync (outputs stay on-chip)
         times.append(time.perf_counter() - t0)
     dt = min(times)

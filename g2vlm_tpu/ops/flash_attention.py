@@ -891,20 +891,26 @@ def flash_batched_attention(
     k: jax.Array,  # (B, M, H, D) — M may differ (cross attention)
     v: jax.Array,
     scale: Optional[float] = None,
-    block_q: int = 256,
-    block_kv: int = 256,
+    block_q: int = 1024,
+    block_kv: int = 1024,
     interpret: bool = False,
 ) -> jax.Array:
     """Full bidirectional (cross-)attention within each batch element, with
     a custom-VJP Pallas backward (encoders train through it). Keys past M
     are iota-masked; padded query rows are sliced off (their cotangents are
-    zero under autodiff, so the backward stays exact)."""
+    zero under autodiff, so the backward stays exact).
+
+    Default blocks cover a whole 518px view (782 tokens -> one 784 tile):
+    encoder sequences are short, so the win is a small grid (B*H steps),
+    not online-softmax streaming — tiny blocks leave the kernel bound on
+    per-step grid overhead."""
     b, s_real, h, d = q.shape
     m_real = k.shape[1]
     if scale is None:
         scale = d ** -0.5
-    block_q = min(block_q, s_real)
-    block_kv = min(block_kv, m_real)
+    # blocks: cap at the (8-rounded) sequence lengths
+    block_q = min(block_q, -(-s_real // 8) * 8)
+    block_kv = min(block_kv, -(-m_real // 8) * 8)
 
     def prep(x, real, block):
         pad = -(-real // block) * block - real

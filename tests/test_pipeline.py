@@ -94,3 +94,17 @@ def test_geo_main_pipeline_matches_mixed(pipe, rng):
         np.asarray(out_mixed["points"]),
         atol=2e-4, rtol=1e-4,
     )
+
+
+def test_recon_from_frames_matches_views(pipe, rng):
+    """uint8 fused-preprocess path == host resnet_normalize path when the
+    frames are already at target size."""
+    frames = rng.integers(0, 256, (2, 56, 56, 3), dtype=np.uint8)
+    out_u8 = pipe.recon_from_frames(frames, new_width=56)
+
+    views = (frames.astype(np.float32) / 255.0).transpose(0, 3, 1, 2)
+    out_v = pipe.recon_from_views(views)
+    np.testing.assert_allclose(
+        np.asarray(out_u8["points"]), np.asarray(out_v["points"]),
+        atol=2e-4, rtol=1e-4,
+    )
