@@ -28,7 +28,7 @@ import numpy as np
 from ..config import Pi3HeadConfig
 from ..ops.attention import dense_attention
 from ..ops.norms import layer_norm
-from ..ops.rope import apply_rope2d, rope2d_cos_sin
+from ..ops.rope import apply_rope2d_bshd, rope2d_cos_sin
 
 
 def _lin(x, p, dtype):
@@ -67,16 +67,19 @@ def _attend(q, k, v):
 
 def _self_attn(x, lp, cos, sin, num_heads, dtype):
     """Fused-QKV self attention with RoPE2D (reference FlashAttentionRope,
-    attention.py:357-381; qk_norm is disabled in the Pi3 heads)."""
+    attention.py:357-381; qk_norm is disabled in the Pi3 heads). Everything
+    stays in (B, S, H, D) layout: the fused qkv output is sliced on the
+    contiguous last dim and RoPE rotates in place — no head-major transposes
+    (pure relayout HBM traffic, ~40 ms per 5-block decoder at 32 views)."""
     b, s, d = x.shape
     hd = d // num_heads
-    qkv = _lin(x, lp["qkv"], dtype).reshape(b, s, 3, num_heads, hd)
-    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-    q = apply_rope2d(q.transpose(0, 2, 1, 3), cos, sin)
-    k = apply_rope2d(k.transpose(0, 2, 1, 3), cos, sin)
-    out = _attend(
-        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v
-    ).reshape(b, s, d)
+    qkv = _lin(x, lp["qkv"], dtype)  # (b, s, 3d), columns [q | k | v]
+    q = qkv[..., :d].reshape(b, s, num_heads, hd)
+    k = qkv[..., d : 2 * d].reshape(b, s, num_heads, hd)
+    v = qkv[..., 2 * d :].reshape(b, s, num_heads, hd)
+    q = apply_rope2d_bshd(q, cos, sin)
+    k = apply_rope2d_bshd(k, cos, sin)
+    out = _attend(q, k, v).reshape(b, s, d)
     return _lin(out, lp["proj"], dtype)
 
 
@@ -89,8 +92,8 @@ def _cross_attn(x, y, lp, cos_q, sin_q, cos_k, sin_k, num_heads, dtype):
     q = _lin(x, lp["q"], dtype).reshape(b, s, num_heads, hd)
     k = _lin(y, lp["k"], dtype).reshape(b, m, num_heads, hd)
     v = _lin(y, lp["v"], dtype).reshape(b, m, num_heads, hd)
-    q = apply_rope2d(q.transpose(0, 2, 1, 3), cos_q, sin_q).transpose(0, 2, 1, 3)
-    k = apply_rope2d(k.transpose(0, 2, 1, 3), cos_k, sin_k).transpose(0, 2, 1, 3)
+    q = apply_rope2d_bshd(q, cos_q, sin_q)
+    k = apply_rope2d_bshd(k, cos_k, sin_k)
     out = _attend(q, k, v).reshape(b, s, d)
     return _lin(out, lp["proj"], dtype)
 

@@ -124,6 +124,21 @@ def apply_rope2d(
     return out.astype(dtype)
 
 
+def apply_rope2d_bshd(
+    tokens: jax.Array,  # (B, S, num_heads, head_dim)
+    cos: jax.Array,  # (B, S, head_dim)
+    sin: jax.Array,
+) -> jax.Array:
+    """Same rotation in (B, S, H, D) layout — avoids the head-major
+    transposes (pure relayout traffic) around attention in the Pi3 heads."""
+    dtype = tokens.dtype
+    t = tokens.astype(jnp.float32)
+    c = cos[:, :, None, :]
+    s = sin[:, :, None, :]
+    out = t * c + _rotate_half_axial(t) * s
+    return out.astype(dtype)
+
+
 # ---------------------------------------------------------------------------
 # Qwen2-VL vision RoPE (reference modeling_qwen2_vl.py:249-258, 1019-1046)
 # ---------------------------------------------------------------------------
