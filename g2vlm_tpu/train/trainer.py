@@ -61,7 +61,7 @@ def train_forward(
     batch: TrainBatch,
     cfg: G2VLMConfig,
     compute_dtype=jnp.bfloat16,
-    attn_impl: str = "chunked",
+    attn_impl: str = "auto",
     ce_weight: float = 1.0,
     recon_weight: float = 1.0,
     remat: bool = True,
@@ -178,7 +178,7 @@ def make_train_step(
     cfg: G2VLMConfig,
     optimizer,
     compute_dtype=jnp.bfloat16,
-    attn_impl: str = "chunked",
+    attn_impl: str = "auto",
     ema_decay: float = 0.9999,
     donate: bool = True,
     remat: bool = True,
