@@ -181,3 +181,68 @@ def generate(
     )
     i, _, _, cache, toks, _, _ = jax.lax.while_loop(cond, body, state)
     return toks, i
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "max_new_tokens", "do_sample", "compute_dtype")
+)
+def generate_batched(
+    params: Dict,
+    caches: KVCache,  # leaves carry a leading batch axis (B, L, C, ...)
+    start_tokens: jax.Array,  # (B,) int32
+    rope_pos: jax.Array,  # (B,) int32
+    eos_token_id: int,
+    cfg: LLMConfig,
+    max_new_tokens: int = 100,
+    do_sample: bool = False,
+    temperature: float = 1.0,
+    rng_key: Optional[jax.Array] = None,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jax.Array, jax.Array]:
+    """Batched serving decode: B independent sequences (own caches/positions)
+    advance in ONE while_loop; per-token weight reads amortize across the
+    batch (the decode is weight-bandwidth-bound, so throughput scales nearly
+    linearly until the MXU saturates). Finished sequences emit eos and stop
+    counting. Returns (tokens (B, max_new_tokens), num_generated (B,)).
+
+    The reference decodes strictly batch=1 (g2vlm.py:1070-1141); this is the
+    production-serving extension."""
+    if rng_key is None:
+        rng_key = jax.random.PRNGKey(0)
+    b = start_tokens.shape[0]
+    tokens0 = jnp.full((b, max_new_tokens), eos_token_id, jnp.int32)
+
+    step = jax.vmap(
+        lambda c, t, p: decode_step(params, c, t, p, cfg, compute_dtype)
+    )
+
+    def cond(state):
+        i, tok, pos, caches, toks, num, key, done = state
+        return (~jnp.all(done)) & (i < max_new_tokens)
+
+    def body(state):
+        i, tok, pos, caches, toks, num, key, done = state
+        logits, caches = step(caches, tok, pos)  # (B, V)
+        if do_sample:
+            key, sub = jax.random.split(key)
+            nxt = jax.random.categorical(sub, logits / temperature, axis=-1)
+        else:
+            nxt = jnp.argmax(logits, axis=-1)
+        nxt = jnp.where(done, eos_token_id, nxt.astype(jnp.int32))
+        toks = toks.at[:, i].set(nxt)
+        num = num + (~done).astype(jnp.int32)
+        done = done | (nxt == eos_token_id)
+        return (i + 1, nxt, pos + 1, caches, toks, num, key, done)
+
+    state = (
+        jnp.zeros((), jnp.int32),
+        start_tokens.astype(jnp.int32),
+        rope_pos.astype(jnp.int32),
+        caches,
+        tokens0,
+        jnp.zeros((b,), jnp.int32),
+        rng_key,
+        jnp.zeros((b,), bool),
+    )
+    _, _, _, caches, toks, num, _, _ = jax.lax.while_loop(cond, body, state)
+    return toks, num

@@ -108,3 +108,31 @@ def test_recon_from_frames_matches_views(pipe, rng):
         np.asarray(out_u8["points"]), np.asarray(out_v["points"]),
         atol=2e-4, rtol=1e-4,
     )
+
+
+def test_generate_batched_matches_single(pipe):
+    """Batched serving decode == B independent single-sequence decodes."""
+    import jax
+
+    cfg = pipe.cfg.llm
+    llm = pipe.params["llm"]
+    starts = [5, 9, 123]
+    singles = []
+    caches = []
+    for s in starts:
+        cache = decoding.make_cache(cfg, 64, dtype=jnp.float32)
+        toks, n = decoding.generate(
+            llm, cache, jnp.asarray(s), jnp.asarray(0), eos_token_id=8,
+            cfg=cfg, max_new_tokens=6, compute_dtype=jnp.float32,
+        )
+        singles.append((np.asarray(toks), int(n)))
+        caches.append(decoding.make_cache(cfg, 64, dtype=jnp.float32))
+
+    batched_cache = jax.tree.map(lambda *xs: jnp.stack(xs), *caches)
+    toks_b, num_b = decoding.generate_batched(
+        llm, batched_cache, jnp.asarray(starts), jnp.zeros(3, jnp.int32),
+        eos_token_id=8, cfg=cfg, max_new_tokens=6, compute_dtype=jnp.float32,
+    )
+    for i, (toks, n) in enumerate(singles):
+        np.testing.assert_array_equal(np.asarray(toks_b)[i], toks)
+        assert int(np.asarray(num_b)[i]) == n
