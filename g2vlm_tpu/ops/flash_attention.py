@@ -24,6 +24,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -532,8 +533,6 @@ def _flash_bwd(scale, block_q, block_kv, interpret, res, do):
     )(*args)
     dk = dkh.reshape(kvh, g, skv_p, d).sum(axis=1).astype(kp.dtype)
     dv = dvh.reshape(kvh, g, skv_p, d).sum(axis=1).astype(vp.dtype)
-
-    import numpy as np
 
     f0 = jax.dtypes.float0
     return (
