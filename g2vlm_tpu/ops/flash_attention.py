@@ -135,17 +135,19 @@ def _online_softmax_update(s, mask, v, m_scr, l_scr, acc_scr):
 
 def _flash_kernel(
     codes_ref,  # (n_q, n_kv) int32 in SMEM (scalar prefetch)
-    q_ref,  # (1, BQ, D)
+    q_ref,  # (G, BQ, D) — ALL q heads of one GQA group packed per step, so
+            # each kv block is fetched once per group instead of once per
+            # q head (6x less KV HBM traffic at Qwen2-VL's 12:2 ratio)
     k_ref,  # (1, BK, D)
     v_ref,  # (1, BK, D)
     qm_ref,  # (BQ, 4) int32 metadata: doc, fn, noise, pos
     km_ref,  # (4, BK) — TRANSPOSED so each field is a lane row; slicing
              # (BK, 4) columns into (1, BK) rows would be a sublane->lane
              # relayout that makes Mosaic spill ~130MB of registers
-    o_ref,  # (1, BQ, D)
-    m_scr,  # (BQ, 128) fp32 running max (lane-broadcast)
-    l_scr,  # (BQ, 128) fp32 running sum
-    acc_scr,  # (BQ, D) fp32
+    o_ref,  # (G, BQ, D)
+    m_scr,  # (G*BQ, 128) fp32 running max (lane-broadcast)
+    l_scr,  # (G*BQ, 128) fp32 running sum
+    acc_scr,  # (G*BQ, D) fp32
     *,
     scale: float,
     n_kv_blocks: int,
@@ -153,6 +155,7 @@ def _flash_kernel(
     i = pl.program_id(1)
     j = pl.program_id(2)
     code = codes_ref[i, j]
+    g, bq, d = q_ref.shape
 
     @pl.when(j == 0)
     def _():
@@ -162,11 +165,11 @@ def _flash_kernel(
 
     def scores():
         return jax.lax.dot_general(
-            q_ref[0],
+            q_ref[...].reshape(g * bq, d),
             k_ref[0],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale  # (BQ, BK)
+        ) * scale  # (G*BQ, BK)
 
     @pl.when(code == BLOCK_FULL)
     def _():
@@ -176,7 +179,8 @@ def _flash_kernel(
 
     @pl.when(code == BLOCK_PARTIAL)
     def _():
-        mask = _tile_mask(qm_ref, km_ref)
+        # token mask is head-independent: tile across the packed heads
+        mask = jnp.tile(_tile_mask(qm_ref, km_ref), (g, 1))
         s = jnp.where(mask, scores(), NEG_INF)
         _online_softmax_update(s, mask, v_ref[0], m_scr, l_scr, acc_scr)
 
@@ -184,7 +188,8 @@ def _flash_kernel(
     def _():
         l = l_scr[:, :1]
         out = acc_scr[:] / jnp.maximum(l, 1e-30)
-        o_ref[0] = out.astype(o_ref.dtype)
+        o_ref[...] = out.reshape(g, bq, d).astype(o_ref.dtype)
+
 
 
 def _flash_kernel_lse(
@@ -200,17 +205,21 @@ def _flash_kernel_lse(
 
     @pl.when(j == n_kv_blocks - 1)
     def _():
+        g, bq = lse_ref.shape[0], lse_ref.shape[1]
         m = m_scr[:, :1]
         l = l_scr[:, :1]
         # fully-masked rows: lse = NEG_INF so backward p = exp(-inf) = 0
         lse = jnp.where(
             l > 0.0, m + jnp.log(jnp.maximum(l, 1e-30)), NEG_INF
         )
-        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+        lse_ref[...] = jnp.broadcast_to(lse, (g * bq, 128)).reshape(
+            g, bq, 128
+        )
 
 
-def _recompute_p(q, k, qm, km, lse, scale, masked=True):
-    """(BQ,D),(BK,D), km (4,BK) -> masked softmax probs (BQ,BK), fp32."""
+def _recompute_p(q, k, qm, km, lse, scale, masked=True, g=1):
+    """(R,D),(BK,D), km (4,BK) -> masked softmax probs (R,BK), fp32.
+    R may pack g heads (rows head-major); the token mask tiles across g."""
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -221,6 +230,8 @@ def _recompute_p(q, k, qm, km, lse, scale, masked=True):
         qm[:, 0:1], qm[:, 1:2], qm[:, 2:3], qm[:, 3:4],
         km[0:1, :], km[1:2, :], km[2:3, :], km[3:4, :],
     )
+    if g > 1:
+        mask = jnp.tile(mask, (g, 1))
     p = jnp.exp(jnp.where(mask, s, NEG_INF) - lse)
     return jnp.where(mask, p, 0.0)
 
@@ -229,25 +240,29 @@ def _flash_bwd_dq_kernel(
     codes_ref, q_ref, k_ref, v_ref, qm_ref, km_ref, do_ref, lse_ref,
     delta_ref, dq_ref, dq_scr, *, scale: float, n_kv_blocks: int,
 ):
-    """grid (h, n_q, n_kv): accumulate dq over kv blocks.
+    """grid (kvh, n_q, n_kv): accumulate dq over kv blocks, all G q heads of
+    the group packed per step.
 
     dS = P * (dO @ V^T - delta); dQ = dS @ K * scale."""
     i = pl.program_id(1)
     j = pl.program_id(2)
     code = codes_ref[i, j]
+    g, bq, d = q_ref.shape
 
     @pl.when(j == 0)
     def _():
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
     def tile(masked):
-        q = q_ref[0]
+        q = q_ref[...].reshape(g * bq, d)
         k = k_ref[0]
         v = v_ref[0]
-        do = do_ref[0]
-        lse = lse_ref[0][:, :1]
-        delta = delta_ref[0][:, :1]
-        p = _recompute_p(q, k, qm_ref[:], km_ref[:], lse, scale, masked)
+        do = do_ref[...].reshape(g * bq, d)
+        lse = lse_ref[...].reshape(g * bq, 128)[:, :1]
+        delta = delta_ref[...].reshape(g * bq, 128)[:, :1]
+        p = _recompute_p(
+            q, k, qm_ref[:], km_ref[:], lse, scale, masked, g=g
+        )
         dp = jax.lax.dot_general(
             do, v, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -268,7 +283,7 @@ def _flash_bwd_dq_kernel(
 
     @pl.when(j == n_kv_blocks - 1)
     def _():
-        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+        dq_ref[...] = dq_scr[:].reshape(g, bq, d).astype(dq_ref.dtype)
 
 
 def _flash_bwd_dkv_kernel(
@@ -276,12 +291,14 @@ def _flash_bwd_dkv_kernel(
     delta_ref, dk_ref, dv_ref, dk_scr, dv_scr,
     *, scale: float, n_q_blocks: int,
 ):
-    """grid (h, n_kv, n_q): accumulate per-Q-HEAD dk/dv over q blocks
-    (GQA group reduction happens outside the kernel).
+    """grid (kvh, n_kv, n_q): dk/dv per KV head directly — contracting over
+    the packed (G*BQ) rows sums the GQA group in-kernel, so no external
+    per-q-head temporaries or reduction are needed.
 
     dV = P^T @ dO; dK = dS^T @ Q * scale."""
     i = pl.program_id(2)
     code = codes_ref[i, pl.program_id(1)]
+    g, bq, d = q_ref.shape
 
     @pl.when(i == 0)
     def _():
@@ -289,13 +306,15 @@ def _flash_bwd_dkv_kernel(
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
     def tile(masked):
-        q = q_ref[0]
+        q = q_ref[...].reshape(g * bq, d)
         k = k_ref[0]
         v = v_ref[0]
-        do = do_ref[0]
-        lse = lse_ref[0][:, :1]
-        delta = delta_ref[0][:, :1]
-        p = _recompute_p(q, k, qm_ref[:], km_ref[:], lse, scale, masked)
+        do = do_ref[...].reshape(g * bq, d)
+        lse = lse_ref[...].reshape(g * bq, 128)[:, :1]
+        delta = delta_ref[...].reshape(g * bq, 128)[:, :1]
+        p = _recompute_p(
+            q, k, qm_ref[:], km_ref[:], lse, scale, masked, g=g
+        )  # (G*BQ, BK)
         dv_scr[:] += jax.lax.dot_general(
             p.astype(do.dtype), do,
             dimension_numbers=(((0,), (0,)), ((), ())),
@@ -305,7 +324,7 @@ def _flash_bwd_dkv_kernel(
             do, v, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        ds = p * (dp - delta)  # (BQ, BK)
+        ds = p * (dp - delta)  # (G*BQ, BK)
         dk_scr[:] += jax.lax.dot_general(
             ds.astype(q.dtype), q,
             dimension_numbers=(((0,), (0,)), ((), ())),
@@ -332,23 +351,26 @@ def _pack_meta(info: TokenInfo) -> jax.Array:
     ).astype(jnp.int32)
 
 
-def _q_spec(block_q, d):
+def _q_spec(block_q, d, g):
+    # packs the g q heads of one GQA group per grid step (grid dim 0 = kvh)
     return pl.BlockSpec(
-        (1, block_q, d), lambda hh, i, j, *_: (hh, i, 0), memory_space=pltpu.VMEM
-    )
-
-
-def _kv_spec(block_kv, d, g):
-    return pl.BlockSpec(
-        (1, block_kv, d), lambda hh, i, j, *_, g=g: (hh // g, j, 0),
+        (g, block_q, d), lambda hh, i, j, *_: (hh, i, 0),
         memory_space=pltpu.VMEM,
     )
 
 
-def _row_spec(block_q):
+def _kv_spec(block_kv, d):
+    return pl.BlockSpec(
+        (1, block_kv, d), lambda hh, i, j, *_: (hh, j, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _row_spec(block_q, g):
     # (H, S_q, 128) lane-broadcast per-row statistics (lse / delta)
     return pl.BlockSpec(
-        (1, block_q, 128), lambda hh, i, j, *_: (hh, i, 0), memory_space=pltpu.VMEM
+        (g, block_q, 128), lambda hh, i, j, *_: (hh, i, 0),
+        memory_space=pltpu.VMEM,
     )
 
 
@@ -371,10 +393,10 @@ _SEMANTICS = pltpu.CompilerParams(
 def _fwd_pallas(qp, kp, vp, qm, km, scale, block_q, block_kv, interpret,
                 with_lse):
     h, sq_p, d = qp.shape
-    skv_p = kp.shape[1]
+    kvh, skv_p, _ = kp.shape
     n_q = sq_p // block_q
     n_kv = skv_p // block_kv
-    g = h // kp.shape[0]
+    g = h // kvh
     codes = _block_codes(qm, km, block_q, block_kv)
     if with_lse:
         kernel = functools.partial(
@@ -384,27 +406,27 @@ def _fwd_pallas(qp, kp, vp, qm, km, scale, block_q, block_kv, interpret,
             jax.ShapeDtypeStruct((h, sq_p, d), vp.dtype),
             jax.ShapeDtypeStruct((h, sq_p, 128), jnp.float32),
         ]
-        out_specs = [_q_spec(block_q, d), _row_spec(block_q)]
+        out_specs = [_q_spec(block_q, d, g), _row_spec(block_q, g)]
     else:
         kernel = functools.partial(
             _flash_kernel, scale=scale, n_kv_blocks=n_kv
         )
         out_shape = jax.ShapeDtypeStruct((h, sq_p, d), vp.dtype)
-        out_specs = _q_spec(block_q, d)
+        out_specs = _q_spec(block_q, d, g)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(h, n_q, n_kv),
+        grid=(kvh, n_q, n_kv),
         in_specs=[
-            _q_spec(block_q, d),
-            _kv_spec(block_kv, d, g),
-            _kv_spec(block_kv, d, g),
+            _q_spec(block_q, d, g),
+            _kv_spec(block_kv, d),
+            _kv_spec(block_kv, d),
             *_meta_specs(block_q, block_kv),
         ],
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((g * block_q, 128), jnp.float32),
+            pltpu.VMEM((g * block_q, 128), jnp.float32),
+            pltpu.VMEM((g * block_q, d), jnp.float32),
         ],
     )
     return pl.pallas_call(
@@ -449,13 +471,13 @@ def _flash_bwd(scale, block_q, block_kv, interpret, res, do):
     codes = _block_codes(qm, km, block_q, block_kv)
     args = (codes, qp, kp, vp, qm, km, do, lse, delta)
     in_specs = [
-        _q_spec(block_q, d),
-        _kv_spec(block_kv, d, g),
-        _kv_spec(block_kv, d, g),
+        _q_spec(block_q, d, g),
+        _kv_spec(block_kv, d),
+        _kv_spec(block_kv, d),
         *_meta_specs(block_q, block_kv),
-        _q_spec(block_q, d),  # do
-        _row_spec(block_q),  # lse
-        _row_spec(block_q),  # delta
+        _q_spec(block_q, d, g),  # do
+        _row_spec(block_q, g),  # lse
+        _row_spec(block_q, g),  # delta
     ]
 
     dq = pl.pallas_call(
@@ -465,30 +487,32 @@ def _flash_bwd(scale, block_q, block_kv, interpret, res, do):
         out_shape=jax.ShapeDtypeStruct((h, sq_p, d), qp.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(h, n_q, n_kv),
+            grid=(kvh, n_q, n_kv),
             in_specs=in_specs,
-            out_specs=_q_spec(block_q, d),
-            scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+            out_specs=_q_spec(block_q, d, g),
+            scratch_shapes=[pltpu.VMEM((g * block_q, d), jnp.float32)],
         ),
         compiler_params=_SEMANTICS,
         interpret=interpret,
     )(*args)
 
-    # dk/dv per Q head (grid iterates q blocks innermost), then GQA-sum
+    # dk/dv per KV head (grid iterates q blocks innermost); the packed
+    # (G*BQ) contraction sums the GQA group in-kernel
     kv_out_spec = pl.BlockSpec(
-        (1, block_kv, d), lambda hh, j, i, *_: (hh, j, 0), memory_space=pltpu.VMEM
+        (1, block_kv, d), lambda hh, j, i, *_: (hh, j, 0),
+        memory_space=pltpu.VMEM,
     )
     dkv_in_specs = [
         pl.BlockSpec(
-            (1, block_q, d), lambda hh, j, i, *_: (hh, i, 0),
+            (g, block_q, d), lambda hh, j, i, *_: (hh, i, 0),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
-            (1, block_kv, d), lambda hh, j, i, *_, g=g: (hh // g, j, 0),
+            (1, block_kv, d), lambda hh, j, i, *_: (hh, j, 0),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
-            (1, block_kv, d), lambda hh, j, i, *_, g=g: (hh // g, j, 0),
+            (1, block_kv, d), lambda hh, j, i, *_: (hh, j, 0),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
@@ -498,29 +522,29 @@ def _flash_bwd(scale, block_q, block_kv, interpret, res, do):
             (4, block_kv), lambda hh, j, i, *_: (0, j), memory_space=pltpu.VMEM
         ),
         pl.BlockSpec(
-            (1, block_q, d), lambda hh, j, i, *_: (hh, i, 0),
+            (g, block_q, d), lambda hh, j, i, *_: (hh, i, 0),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
-            (1, block_q, 128), lambda hh, j, i, *_: (hh, i, 0),
+            (g, block_q, 128), lambda hh, j, i, *_: (hh, i, 0),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
-            (1, block_q, 128), lambda hh, j, i, *_: (hh, i, 0),
+            (g, block_q, 128), lambda hh, j, i, *_: (hh, i, 0),
             memory_space=pltpu.VMEM,
         ),
     ]
-    dkh, dvh = pl.pallas_call(
+    dk, dv = pl.pallas_call(
         functools.partial(
             _flash_bwd_dkv_kernel, scale=scale, n_q_blocks=n_q
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((h, skv_p, d), kp.dtype),
-            jax.ShapeDtypeStruct((h, skv_p, d), vp.dtype),
+            jax.ShapeDtypeStruct((kvh, skv_p, d), kp.dtype),
+            jax.ShapeDtypeStruct((kvh, skv_p, d), vp.dtype),
         ],
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(h, n_kv, n_q),
+            grid=(kvh, n_kv, n_q),
             in_specs=dkv_in_specs,
             out_specs=[kv_out_spec, kv_out_spec],
             scratch_shapes=[
@@ -531,8 +555,6 @@ def _flash_bwd(scale, block_q, block_kv, interpret, res, do):
         compiler_params=_SEMANTICS,
         interpret=interpret,
     )(*args)
-    dk = dkh.reshape(kvh, g, skv_p, d).sum(axis=1).astype(kp.dtype)
-    dv = dvh.reshape(kvh, g, skv_p, d).sum(axis=1).astype(vp.dtype)
 
     f0 = jax.dtypes.float0
     return (
