@@ -387,6 +387,9 @@ def _meta_specs(block_q, block_kv):
 
 _SEMANTICS = pltpu.CompilerParams(
     dimension_semantics=("parallel", "parallel", "arbitrary"),
+    # GQA packing makes the scores tile (G*BQ, BK) fp32 (~19MB at 6x512x1536)
+    # exceed the default 16MB scoped-vmem stack; v5e has 128MB VMEM total.
+    vmem_limit_bytes=100 * 1024 * 1024,
 )
 
 
@@ -574,11 +577,12 @@ def flash_segment_attention(
     kv_info: TokenInfo,
     scale: Optional[float] = None,
     block_q: int = 512,
-    block_kv: int = 1536,
+    block_kv: int = 1024,
     interpret: bool = False,
 ) -> jax.Array:
-    """Defaults (512, 1536) from a v5e sweep at the 32-view prefill shape
-    (25088 tokens): 75.6 ms vs 144.8 ms blockwise-XLA -> 1.92x."""
+    """Defaults (512, 1024) from v5e sweeps at the 32-view prefill shape
+    (25088 tokens): 33.6 ms vs 147 ms blockwise-XLA (4.4x) with GQA packing
+    + block visibility codes."""
     s_q, h, d = q.shape
     s_kv, kvh, _ = k.shape
     if scale is None:
