@@ -212,3 +212,46 @@ def test_batched_flash_matches_dense(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-3
         )
+
+
+def test_flash_kernel_under_vmap(rng):
+    """The trainer vmaps the packed forward over the dp-batch axis; the
+    kernel must be correct under vmap (pallas prepends a grid dim)."""
+    import jax
+
+    S, H, KVH, D = 256, 4, 2, 128
+    B = 2
+    q = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, KVH, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, KVH, D)), jnp.float32)
+    info = make_token_info_np([100, 156], [100, 156], ["causal", "full"])
+
+    single = lambda q, k, v: flash_segment_attention(
+        q, k, v, info, info, block_q=128, block_kv=128, interpret=True
+    )
+    got = jax.vmap(single)(q, k, v)
+    for i in range(B):
+        ref = segment_attention(q[i], k[i], v[i], info, info, impl="dense")
+        np.testing.assert_allclose(
+            np.asarray(got[i]), np.asarray(ref), atol=2e-5, rtol=1e-4
+        )
+
+    # grads under vmap (the actual trainer pattern)
+    def loss(q, k, v):
+        return jnp.sum(jax.vmap(single)(q, k, v) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(
+            jax.vmap(
+                lambda q, k, v: segment_attention(
+                    q, k, v, info, info, impl="dense"
+                )
+            )(q, k, v) ** 2
+        )
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3
+        )
