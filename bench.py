@@ -23,8 +23,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from g2vlm_tpu.utils.jax_cache import enable as enable_jax_cache
+    from g2vlm_tpu.utils.jax_cache import enable as enable_jax_cache, honor_platform_env
 
+    honor_platform_env()
     enable_jax_cache()
 
     from g2vlm_tpu.config import G2VLMConfig

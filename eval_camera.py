@@ -27,6 +27,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from g2vlm_tpu.utils.jax_cache import enable as _cache, honor_platform_env
+
+    honor_platform_env()
+    _cache()
+
     from g2vlm_tpu.config import G2VLMConfig
     from g2vlm_tpu.inference.pipeline import G2VLMPipeline
     from g2vlm_tpu.models import g2vlm as jg

@@ -23,11 +23,19 @@ def main():
     ap.add_argument("--max_scenes", type=int, default=0)
     ap.add_argument("--dtype", type=str, default="bfloat16",
                     choices=["bfloat16", "float32"])
+    ap.add_argument("--new_width", type=int, default=518)
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny random-weight config (harness smoke)")
     args = ap.parse_args()
 
     import numpy as np
     import jax
     import jax.numpy as jnp
+
+    from g2vlm_tpu.utils.jax_cache import enable as _cache, honor_platform_env
+
+    honor_platform_env()
+    _cache()
 
     from g2vlm_tpu.config import G2VLMConfig
     from g2vlm_tpu.data.recon_dataset import depth_to_world_points, load_depth
@@ -47,7 +55,12 @@ def main():
         tokenizer, new_token_ids, _ = load_tokenizer(args.model_path)
     else:
         print("no --model_path: random weights (harness smoke mode)")
-        cfg = G2VLMConfig(visual_und=False)
+        if args.tiny:
+            from g2vlm_tpu.config import tiny_test_config
+
+            cfg = tiny_test_config()
+        else:
+            cfg = G2VLMConfig(visual_und=False)
         params = jg.init_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
     pipe = G2VLMPipeline(
         params, cfg, tokenizer=tokenizer, new_token_ids=new_token_ids,
@@ -64,7 +77,9 @@ def main():
             frames = item["frames"][: args.num_views]
             if len(frames) < 2 or not all(fr.get("depth") for fr in frames):
                 continue
-            out = pipe.recon([fr["image"] for fr in frames])
+            out = pipe.recon(
+                [fr["image"] for fr in frames], new_width=args.new_width
+            )
             pred_pts = np.asarray(out["points"], np.float32)  # (N, h, w, 3)
             n, ph, pw, _ = pred_pts.shape
 

@@ -20,3 +20,14 @@ def enable(cache_dir: str | None = None) -> None:
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass  # older jax versions: silently skip
+
+
+def honor_platform_env():
+    """The axon TPU plugin force-overrides JAX_PLATFORMS at import; re-apply
+    an explicit cpu request (tests/smoke runs) via jax.config."""
+    import os
+
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")

@@ -21,13 +21,17 @@ def main():
     ap.add_argument("--prompt", type=str, default="Reconstruct the 3D scene.")
     ap.add_argument("--dtype", type=str, default="bfloat16",
                     choices=["bfloat16", "float32"])
+    ap.add_argument("--new_width", type=int, default=518)
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny random-weight config (harness smoke)")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
-    from g2vlm_tpu.utils.jax_cache import enable as enable_jax_cache
+    from g2vlm_tpu.utils.jax_cache import enable as enable_jax_cache, honor_platform_env
 
+    honor_platform_env()
     enable_jax_cache()
 
     from g2vlm_tpu.config import G2VLMConfig
@@ -46,7 +50,12 @@ def main():
         tokenizer, new_token_ids, _ = load_tokenizer(args.model_path)
     else:
         print("no --model_path: using random weights (smoke mode)")
-        cfg = G2VLMConfig(visual_und=False)
+        if args.tiny:
+            from g2vlm_tpu.config import tiny_test_config
+
+            cfg = tiny_test_config()
+        else:
+            cfg = G2VLMConfig(visual_und=False)
         params = jg.init_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
 
     pipe = G2VLMPipeline(
@@ -60,7 +69,7 @@ def main():
         if f.lower().endswith((".jpg", ".jpeg", ".png"))
     )
     print(f"reconstructing {len(names)} views...")
-    pred = pipe.recon(names, prompt=args.prompt)
+    pred = pipe.recon(names, prompt=args.prompt, new_width=args.new_width)
 
     os.makedirs(os.path.dirname(args.save_path) or ".", exist_ok=True)
     stats = save_ply_visualization(pred, args.save_path)
