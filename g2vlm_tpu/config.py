@@ -187,7 +187,7 @@ class G2VLMConfig:
         )
 
 
-def tiny_test_config() -> G2VLMConfig:
+def tiny_test_config(visual_und: bool = True) -> G2VLMConfig:
     """A small config for fast unit/parity tests.
 
     Dims respect the reference's hardcoded head counts (Pi3 decoders use 16
@@ -195,6 +195,7 @@ def tiny_test_config() -> G2VLMConfig:
     config can instantiate the torch reference for golden runs.
     """
     return G2VLMConfig(
+        visual_und=visual_und,
         llm=LLMConfig(
             vocab_size=512,
             hidden_size=128,

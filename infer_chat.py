@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--max_length", type=int, default=100)
     ap.add_argument("--do_sample", action="store_true")
     ap.add_argument("--temperature", type=float, default=1.0)
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny random-weight config (harness smoke)")
     ap.add_argument("--dtype", type=str, default="bfloat16",
                     choices=["bfloat16", "float32"])
     args = ap.parse_args()
@@ -57,7 +59,12 @@ def main():
         tokenizer, new_token_ids, _ = load_tokenizer(args.model_path)
     else:
         print("no --model_path: using random weights (smoke mode)")
-        cfg = G2VLMConfig()
+        if args.tiny:
+            from g2vlm_tpu.config import tiny_test_config
+
+            cfg = tiny_test_config()
+        else:
+            cfg = G2VLMConfig()
         params = jg.init_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
 
     pipe = G2VLMPipeline(
