@@ -627,11 +627,31 @@ def flash_segment_attention(
 # ---------------------------------------------------------------------------
 
 
+def _rows_update(s, v, m_scr, l_scr, acc_scr, r0, bq):
+    """Online-softmax update on scratch rows [r0, r0+bq)."""
+    sl = slice(r0, r0 + bq)
+    m_prev = m_scr[sl, :1]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = l_scr[sl, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    acc_scr[sl, :] = acc_scr[sl, :] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_scr[sl, :] = jnp.broadcast_to(m_new, (bq, m_scr.shape[1]))
+    l_scr[sl, :] = jnp.broadcast_to(l_new, (bq, l_scr.shape[1]))
+
+
 def _batched_flash_kernel(
-    q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
+    q_ref,  # (1, HB, BQ, D) — HB heads per grid step: at one-block-per-view
+            # sizes the grid is per-step-overhead-bound, so heads amortize it
+    k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
     *, scale: float, n_kv_blocks: int, s_real: int, block_kv: int,
 ):
     j = pl.program_id(3)
+    _, hb, bq, d = q_ref.shape
 
     @pl.when(j == 0)
     def _():
@@ -639,25 +659,32 @@ def _batched_flash_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    s = jax.lax.dot_general(
-        q_ref[0, 0],
-        k_ref[0, 0],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale  # (BQ, BK)
     if s_real % block_kv:
         # only the final kv block contains padding keys
         col = j * block_kv + jax.lax.broadcasted_iota(
             jnp.int32, (1, block_kv), 1
         )
-        s = jnp.where(col < s_real, s, NEG_INF)
-    _online_softmax_update(s, None, v_ref[0, 0], m_scr, l_scr, acc_scr)
+        key_ok = col < s_real
+    else:
+        key_ok = None
+    for hh in range(hb):  # static unroll
+        s = jax.lax.dot_general(
+            q_ref[0, hh],
+            k_ref[0, hh],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (BQ, BK)
+        if key_ok is not None:
+            s = jnp.where(key_ok, s, NEG_INF)
+        _rows_update(s, v_ref[0, hh], m_scr, l_scr, acc_scr, hh * bq, bq)
 
     @pl.when(j == n_kv_blocks - 1)
     def _():
-        l = l_scr[:, :1]
-        out = acc_scr[:] / jnp.maximum(l, 1e-30)
-        o_ref[0, 0] = out.astype(o_ref.dtype)
+        for hh in range(hb):
+            sl = slice(hh * bq, (hh + 1) * bq)
+            l = l_scr[sl, :1]
+            out = acc_scr[sl, :] / jnp.maximum(l, 1e-30)
+            o_ref[0, hh] = out.astype(o_ref.dtype)
 
 
 def _batched_flash_kernel_lse(
@@ -670,13 +697,18 @@ def _batched_flash_kernel_lse(
         block_kv=block_kv,
     )
     j = pl.program_id(3)
+    _, hb, bq, _ = q_ref.shape
 
     @pl.when(j == n_kv_blocks - 1)
     def _():
-        m = m_scr[:, :1]
-        l = l_scr[:, :1]
-        lse = jnp.where(l > 0.0, m + jnp.log(jnp.maximum(l, 1e-30)), NEG_INF)
-        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+        for hh in range(hb):
+            sl = slice(hh * bq, (hh + 1) * bq)
+            m = m_scr[sl, :1]
+            l = l_scr[sl, :1]
+            lse = jnp.where(
+                l > 0.0, m + jnp.log(jnp.maximum(l, 1e-30)), NEG_INF
+            )
+            lse_ref[0, hh] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
 def _batched_p(q, k, lse, scale, j, s_real, block_kv):
@@ -787,7 +819,18 @@ def _batched_fwd(qp, kp, vp, scale, block_q, block_kv, s_real, interpret,
     b, h, s_pad, d = qp.shape
     n_q = s_pad // block_q
     n_kv = kp.shape[2] // block_kv
-    spec, kv_spec, row_spec = _batched_specs(block_q, block_kv, d)
+    hb = next(x for x in (4, 2, 1) if h % x == 0)  # heads per grid step
+
+    def hspec(bq, last):
+        return pl.BlockSpec(
+            (1, hb, bq, last), lambda bb, hh, i, j: (bb, hh, i, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    kv_spec = pl.BlockSpec(
+        (1, hb, block_kv, d), lambda bb, hh, i, j: (bb, hh, j, 0),
+        memory_space=pltpu.VMEM,
+    )
     kw = dict(
         scale=scale, n_kv_blocks=n_kv, s_real=s_real, block_kv=block_kv
     )
@@ -797,21 +840,21 @@ def _batched_fwd(qp, kp, vp, scale, block_q, block_kv, s_real, interpret,
             jax.ShapeDtypeStruct((b, h, s_pad, d), vp.dtype),
             jax.ShapeDtypeStruct((b, h, s_pad, 128), jnp.float32),
         ]
-        out_specs = [spec, row_spec]
+        out_specs = [hspec(block_q, d), hspec(block_q, 128)]
     else:
         kernel = functools.partial(_batched_flash_kernel, **kw)
         out_shape = jax.ShapeDtypeStruct((b, h, s_pad, d), vp.dtype)
-        out_specs = spec
+        out_specs = hspec(block_q, d)
     return pl.pallas_call(
         kernel,
         out_shape=out_shape,
-        grid=(b, h, n_q, n_kv),
-        in_specs=[spec, kv_spec, kv_spec],
+        grid=(b, h // hb, n_q, n_kv),
+        in_specs=[hspec(block_q, d), kv_spec, kv_spec],
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((hb * block_q, 128), jnp.float32),
+            pltpu.VMEM((hb * block_q, 128), jnp.float32),
+            pltpu.VMEM((hb * block_q, d), jnp.float32),
         ],
         compiler_params=_BATCHED_SEMANTICS,
         interpret=interpret,
