@@ -21,6 +21,9 @@ def main():
     ap.add_argument("--max_scenes", type=int, default=0)
     ap.add_argument("--dtype", type=str, default="bfloat16",
                     choices=["bfloat16", "float32"])
+    ap.add_argument("--new_width", type=int, default=518)
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny random-weight config (harness smoke)")
     args = ap.parse_args()
 
     import numpy as np
@@ -48,7 +51,12 @@ def main():
         tokenizer, new_token_ids, _ = load_tokenizer(args.model_path)
     else:
         print("no --model_path: random weights (harness smoke mode)")
-        cfg = G2VLMConfig(visual_und=False)
+        if args.tiny:
+            from g2vlm_tpu.config import tiny_test_config
+
+            cfg = tiny_test_config(visual_und=False)
+        else:
+            cfg = G2VLMConfig(visual_und=False)
         params = jg.init_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
     pipe = G2VLMPipeline(
         params, cfg, tokenizer=tokenizer, new_token_ids=new_token_ids,
@@ -65,7 +73,7 @@ def main():
             frames = item["frames"][: args.num_views]
             if len(frames) < 2:
                 continue
-            out = pipe.recon([fr["image"] for fr in frames])
+            out = pipe.recon([fr["image"] for fr in frames], new_width=args.new_width)
             # predicted poses are cam->frame0; compare relative pose errors
             pred_c2w = np.asarray(out["camera_poses"], np.float64)
             gt_c2w = np.asarray(
