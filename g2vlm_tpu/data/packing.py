@@ -57,6 +57,12 @@ class PackerConfig:
     # order + a bucketed static geo_start for 1x-FLOPs mixed training
     sorted_layout: bool = False
     geo_start_bucket: int = 256
+    # Fixed ViT slot count for the jitted train step: vit patch rows are
+    # padded to this many (0 = no vit branch; packs containing vit images
+    # then raise). vit_indexes pads with max_num_tokens (out of bounds ->
+    # dropped by the trainer's mode="drop" scatter).
+    max_vit_patches: int = 0
+    vit_patch_dim: int = 1176  # 3 * tps(2) * 14 * 14
 
 
 class SequencePacker:
@@ -282,9 +288,25 @@ class SequencePacker:
                 )
             batch["view_infos"] = list(self.gt["view_infos"])
             batch["image_paths"] = list(self.gt["image_paths"])
-        if self.vit_patches:
-            batch["vit_patches"] = np.concatenate(self.vit_patches, axis=0)
+        if self.vit_patches or cfg.max_vit_patches:
+            from ..models.qwen_vit import pack_views
+
+            views = [
+                {"patches": p, "grid_thw": g}
+                for p, g in zip(self.vit_patches, self.vit_grids)
+            ]
+            pats, coords, seg, n_merged = pack_views(
+                views, pad_to=cfg.max_vit_patches, patch_dim=cfg.vit_patch_dim
+            )
+            batch["vit_patches"] = pats
+            batch["vit_coords"] = coords.astype(np.int32)
+            batch["vit_seg"] = seg
             batch["vit_grids"] = list(self.vit_grids)
+            # pad merged-token scatter targets with s (out of bounds)
+            n_slots = pats.shape[0] // 4
+            vit_idx = np.full(n_slots, s, np.int32)
+            vit_idx[:n_merged] = batch["vit_indexes"]
+            batch["vit_indexes"] = vit_idx
         if sorted_layout:
             batch = self._sort_layout(batch, s, geo_start_bucket)
         return batch
@@ -305,7 +327,10 @@ class SequencePacker:
         batch["position_ids"] = batch["position_ids"][:, perm]
         for k in ("text_indexes", "dino_indexes", "vit_indexes", "ce_indexes"):
             if len(batch[k]):
-                batch[k] = inv[batch[k]].astype(batch[k].dtype)
+                idx = batch[k]
+                # vit_indexes may be padded with s (out of bounds = dropped)
+                mapped = inv[np.minimum(idx, s - 1)]
+                batch[k] = np.where(idx < s, mapped, s).astype(idx.dtype)
         n_und = int((order_key == 0).sum())
         geo_start = int(s - is_geo.sum())
         geo_start = max(n_und, geo_start // geo_start_bucket * geo_start_bucket)

@@ -23,7 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import VitConfig
-from ..ops.attention import dense_attention
+from ..ops.attention import dense_attention, segment_attention
+from ..ops.masks import TokenInfo
 from ..ops.norms import layer_norm
 from ..ops.rope import apply_vision_rope, vision_rope_cos_sin
 
@@ -109,6 +110,84 @@ def encode(
     x = jax.nn.gelu(x, approximate=False)
     x = _lin(x, mp["fc2"], dt)
     return x
+
+
+def encode_packed(
+    params: Dict,
+    patches: jax.Array,  # (P, pdim) rows from several images, concatenated
+    coords: jax.Array,  # (P, 2) merge-permuted (h, w) rope coords
+    seg_id: jax.Array,  # (P,) image index per token; -1 = padding
+    cfg: VitConfig,
+    compute_dtype=jnp.float32,
+    attn_impl: str = "auto",
+) -> jax.Array:
+    """Packed multi-image encode for training: arbitrary per-image grids in
+    one static-shape program (the reference feeds variable grids through
+    flash-attn cu_seqlens, modeling_qwen2_vl.py:1048-1072; here each image is
+    an attention segment). Returns (P//4, hidden_size) merged tokens in image
+    order; rows from padding segments are garbage — callers drop them via
+    out-of-bounds scatter indices."""
+    p_tot = patches.shape[0]
+    dt = compute_dtype
+    d, nh, hd = cfg.embed_dim, cfg.num_heads, cfg.head_dim
+
+    x = _lin(patches, params["patch_embed"], dt)
+    cos, sin = vision_rope_cos_sin(coords, hd)
+    seg = seg_id.astype(jnp.int32)
+    # full bidirectional attention within each image, none across
+    info = TokenInfo(seg, seg, jnp.full_like(seg, -1), jnp.arange(p_tot, dtype=jnp.int32))
+
+    def block(x, lp):
+        hnorm = layer_norm(x, lp["norm1"]["w"], lp["norm1"]["b"], 1e-6)
+        qkv = _lin(hnorm, lp["qkv"], dt).reshape(p_tot, 3, nh, hd)
+        q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]
+        q, k = apply_vision_rope(q, k, cos, sin)
+        attn = segment_attention(
+            q.astype(dt), k.astype(dt), v.astype(dt), info, info, impl=attn_impl
+        )
+        x = x + _lin(attn.reshape(p_tot, d), lp["proj"], dt)
+        hnorm = layer_norm(x, lp["norm2"]["w"], lp["norm2"]["b"], 1e-6)
+        m = _act(_lin(hnorm, lp["fc1"], dt), cfg.hidden_act)
+        x = x + _lin(m, lp["fc2"], dt)
+        return x, None
+
+    x, _ = jax.lax.scan(block, x, params["blocks"])
+
+    mp = params["merger"]
+    x = layer_norm(x, mp["ln_q"]["w"], mp["ln_q"]["b"], 1e-6)
+    x = x.reshape(p_tot // 4, 4 * d)
+    x = _lin(x, mp["fc1"], dt)
+    x = jax.nn.gelu(x, approximate=False)
+    return _lin(x, mp["fc2"], dt)
+
+
+def pack_views(views, pad_to: int = 0, patch_dim: int = 1176):
+    """Host-side packing of [{'patches', 'grid_thw'}, ...] into the
+    encode_packed inputs: (patches (P, pdim), coords (P, 2), seg_id (P,),
+    n_merged_real). P = pad_to if given (padding rows get seg_id=-1)."""
+    if views:
+        pats = np.concatenate([np.asarray(v["patches"], np.float32) for v in views])
+        coords = np.concatenate(
+            [merge_permuted_hw_coords(tuple(v["grid_thw"])) for v in views]
+        )
+        seg = np.concatenate(
+            [
+                np.full(int(np.prod(v["grid_thw"])), i, np.int32)
+                for i, v in enumerate(views)
+            ]
+        )
+        patch_dim = pats.shape[1]
+    else:
+        pats = np.zeros((0, patch_dim), np.float32)
+        coords = np.zeros((0, 2), np.int64)
+        seg = np.zeros((0,), np.int32)
+    n = pats.shape[0]
+    if pad_to:
+        assert n <= pad_to, (n, pad_to)
+        pats = np.concatenate([pats, np.zeros((pad_to - n, pats.shape[1]), np.float32)])
+        coords = np.concatenate([coords, np.zeros((pad_to - n, 2), coords.dtype)])
+        seg = np.concatenate([seg, np.full(pad_to - n, -1, np.int32)])
+    return pats, coords, seg, n // 4
 
 
 def init_params(cfg: VitConfig, key: jax.Array, dtype=jnp.float32) -> Dict:

@@ -344,6 +344,11 @@ def pi3_loss(
 ) -> Tuple[jax.Array, Dict]:
     """Full loss: point + 0.2 * camera (reference Pi3Loss.forward :339-356)."""
     gt = prepare_gt(gt_raw)
+    # conf supervision extras pass straight through (reference computes them
+    # inside PointLoss from gt['imgs'], pi3_loss.py:146-163)
+    for k in ("conf_target_thresh", "sky_mask"):
+        if k in gt_raw:
+            gt[k] = gt_raw[k]
     pred = normalize_pred(pred, gt["valid_masks"])
 
     p_loss, details, scale = point_loss(pred, gt, normal_batch_mask)

@@ -54,6 +54,14 @@ class TrainBatch(NamedTuple):
     point_masks: jax.Array  # (1, N, H, W)
     extrinsics: jax.Array  # (1, N, 4, 4)
     normal_batch_mask: jax.Array  # (1,)
+    # vit branch (joint recon+understanding batches; reference
+    # g2vlm.py:334-344). vit_indexes above is padded with S (out of bounds ->
+    # dropped); None = no vit branch in this run.
+    vit_patches: Optional[jax.Array] = None  # (P, pdim)
+    vit_coords: Optional[jax.Array] = None  # (P, 2)
+    vit_seg: Optional[jax.Array] = None  # (P,) image idx, -1 = padding
+    # conf supervision (SegFormer sky masks, reference pi3_loss.py:146-163)
+    sky_masks: Optional[jax.Array] = None  # (1, N, H, W) bool
 
 
 def train_forward(
@@ -66,6 +74,7 @@ def train_forward(
     recon_weight: float = 1.0,
     remat: bool = True,
     geo_start: Optional[int] = None,
+    conf_target_thresh: float = 0.02,
 ) -> Tuple[jax.Array, Dict]:
     """One packed sample -> scalar loss + details.
 
@@ -84,6 +93,19 @@ def train_forward(
     hw = (h // p) * (w // p)
     dino_emb = jg.encode_dino_to_llm(params, batch.dino_images, cfg, compute_dtype)
     seq = seq.at[batch.dino_indexes].set(dino_emb)
+
+    # ViT branch: packed semantic image tokens scattered into the sequence
+    # (reference g2vlm.py:334-344); padded vit_indexes point past S -> dropped.
+    if batch.vit_patches is not None and batch.vit_patches.shape[0] > 0:
+        from ..models import qwen_vit
+
+        vit_emb = qwen_vit.encode_packed(
+            params["vit"], batch.vit_patches, batch.vit_coords, batch.vit_seg,
+            cfg.vit, compute_dtype, attn_impl=attn_impl,
+        )
+        seq = seq.at[batch.vit_indexes].set(
+            vit_emb.astype(compute_dtype), mode="drop"
+        )
 
     q_info = TokenInfo(batch.doc_id, batch.fn_id, batch.noise_id, batch.pos)
     hidden, _ = mot_decoder.decoder_forward(
@@ -135,6 +157,23 @@ def train_forward(
         "point_masks": batch.point_masks,
         "extrinsics": batch.extrinsics,
     }
+    if pred["conf"] is not None:
+        # conf supervision (reference pi3_loss.py:146-163): sky masks from
+        # the frozen SegFormer — precomputed by the pipeline, or predicted
+        # in-program from the same normalized frames the reference uses
+        # (pi3_loss.py:62-65 runs it on gt['imgs'] under no_grad)
+        gt["conf_target_thresh"] = conf_target_thresh
+        sky = batch.sky_masks
+        if sky is None and "segformer" in params:
+            from ..models import segformer
+
+            sky = jax.lax.stop_gradient(
+                segformer.predict_sky_mask(
+                    params["segformer"], batch.dino_images
+                )
+            )[None]
+        if sky is not None:
+            gt["sky_mask"] = sky
     dl, dl_details = losses.pi3_loss(pred, gt, batch.normal_batch_mask)
     details.update(dl_details)
     details["dl"] = dl
@@ -150,6 +189,44 @@ class TrainState(NamedTuple):
     ema_params: Optional[Dict]
 
 
+# Param-tree keys owned by the geometry side: the geo expert inside each MoT
+# layer plus the recon towers/heads (reference freeze_recon detaches these
+# paths per-token, qwen2vl.py:473-496, 807-834; freeze_all_params over the
+# recon modules, g2vlm.py:221-224).
+_GEO_LAYER_KEYS = frozenset(
+    "ln_attn_geo q_geo k_geo v_geo o_geo q_norm_geo k_norm_geo ln_mlp_geo "
+    "mlp_geo ls1 ls2 norm_geo".split()
+)
+_RECON_TOP_KEYS = frozenset(
+    "dino dino2llm point_decoder point_head camera_decoder camera_head "
+    "global_decoder global_point_head conf_decoder conf_head".split()
+)
+_ALWAYS_FROZEN = frozenset({"segformer"})  # reference pi3_loss.py:55-65
+
+
+def freeze_labels(params: Dict, freeze_und: bool, freeze_recon: bool) -> Dict:
+    """'train' / 'frozen' label per leaf. freeze_und freezes the und expert
+    + the semantic ViT; freeze_recon freezes the geo expert + recon towers
+    (reference qwen2vl.py freeze flags + g2vlm.py:221-224). Shared trunk
+    leaves (embed, lm_head) stay trainable."""
+
+    def label(path, _leaf):
+        keys = [p.key for p in path if hasattr(p, "key")]
+        if keys[0] in _ALWAYS_FROZEN:
+            return "frozen"
+        geo = keys[0] in _RECON_TOP_KEYS or any(k in _GEO_LAYER_KEYS for k in keys)
+        if geo:
+            return "frozen" if freeze_recon else "train"
+        und = keys[0] == "vit" or (
+            keys[0] == "llm" and keys[-1] not in ("embed", "lm_head")
+        )
+        if und and freeze_und:
+            return "frozen"
+        return "train"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
 def make_optimizer(
     learning_rate=1e-4,
     weight_decay=0.05,
@@ -157,12 +234,25 @@ def make_optimizer(
     b2=0.95,
     grad_clip=1.0,
     schedule=None,
+    freeze_und: bool = False,
+    freeze_recon: bool = False,
+    params: Optional[Dict] = None,
 ):
     lr = schedule if schedule is not None else learning_rate
-    return optax.chain(
+    opt = optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.adamw(lr, b1=b1, b2=b2, weight_decay=weight_decay),
     )
+    need_mask = freeze_und or freeze_recon or (
+        params is not None and "segformer" in params
+    )
+    if need_mask:
+        assert params is not None, "freeze flags need the param tree"
+        labels = freeze_labels(params, freeze_und, freeze_recon)
+        return optax.multi_transform(
+            {"train": opt, "frozen": optax.set_to_zero()}, labels
+        )
+    return opt
 
 
 def init_train_state(params, optimizer, ema: bool = True) -> TrainState:

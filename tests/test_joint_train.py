@@ -1,0 +1,261 @@
+"""Joint recon+understanding training: the ViT branch in the train forward
+(reference g2vlm.py:334-344), freeze_und/freeze_recon optimizer masks
+(reference qwen2vl.py freeze flags), and the conf/sky loss wiring
+(reference pi3_loss.py:146-163)."""
+
+import random as pyrandom
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from g2vlm_tpu.config import tiny_test_config
+from g2vlm_tpu.data.packing import PackerConfig, SequencePacker
+from g2vlm_tpu.models import g2vlm as jg
+from g2vlm_tpu.models import qwen_vit
+from g2vlm_tpu.train import trainer
+
+TOKEN_IDS = dict(bos_token_id=7, eos_token_id=8, start_of_image=11, end_of_image=12)
+
+
+def _vit_view(rng, h=56, w=56):
+    from g2vlm_tpu.data.vit_preprocess import tile_patches
+
+    img = rng.standard_normal((3, h, w)).astype(np.float32)
+    patches, grid = tile_patches(img, patch_size=14, merge_size=2)
+    return {"patches": patches, "grid_thw": grid}
+
+
+def _dino_view(rng, h=56, w=56):
+    return {
+        "image": rng.random((h, w, 3)).astype(np.float32),
+        "world_points": rng.standard_normal((h, w, 3)).astype(np.float32),
+        "point_masks": (rng.random((h, w)) < 0.9),
+        "extrinsics": np.eye(4, dtype=np.float32),
+        "intrinsics": np.array(
+            [[100.0, 0, w / 2], [0, 100.0, h / 2], [0, 0, 1]], np.float32
+        ),
+        "depths": rng.random((h, w)).astype(np.float32) + 0.5,
+    }
+
+
+def _joint_sample(rng, n_dino=2):
+    """recon-then-und style: prompt + dino views + a vit image + QA answer."""
+    vit = _vit_view(rng)
+    t, gh, gw = vit["grid_thw"]
+    n_vit_tok = t * gh * gw // 4
+    n_tok = (
+        2  # prompt
+        + n_dino * (16 + 2)  # dino views + framing
+        + (n_vit_tok + 2)  # vit image + framing
+        + 3 + 1  # question + answer(+eos)
+    )
+    return dict(
+        plan=[
+            {"type": "text"},
+            *[{"type": "dino_image"}] * n_dino,
+            {"type": "vit_image"},
+            {"type": "text", "loss": 1},
+        ],
+        text_ids_list=[[5, 6], [9, 10, 11]],
+        dino_views=[_dino_view(rng) for _ in range(n_dino)],
+        vit_views=[vit],
+        num_tokens=n_tok,
+    )
+
+
+def _pack_joint(rng, max_vit_patches=32, sorted_layout=False):
+    cfg = PackerConfig(
+        expected_num_tokens=64,
+        max_num_tokens_per_sample=128,
+        max_num_tokens=128,
+        max_ce_slots=8,
+        max_vit_patches=max_vit_patches,
+    )
+    packer = SequencePacker(cfg, TOKEN_IDS)
+    packer.add_sample(_joint_sample(rng), pyrandom.Random(0))
+    batch = packer.to_batch(
+        pyrandom.Random(0), sorted_layout=sorted_layout, geo_start_bucket=16
+    )
+    return batch
+
+
+def _to_train_batch(batch, sky_masks=None):
+    return jax.tree.map(
+        lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x,
+        trainer.TrainBatch(
+            text_ids=batch["text_ids"],
+            text_indexes=batch["text_indexes"],
+            dino_indexes=batch["dino_indexes"],
+            vit_indexes=batch["vit_indexes"],
+            is_geo=batch["is_geo"],
+            position_ids=batch["position_ids"],
+            doc_id=batch["doc_id"],
+            fn_id=batch["fn_id"],
+            noise_id=batch["noise_id"],
+            pos=batch["pos"],
+            ce_indexes=batch["ce_indexes"],
+            ce_labels=batch["ce_labels"],
+            ce_weights=batch["ce_weights"],
+            dino_images=batch["dino_images"] - 0.45,
+            world_points=batch["world_points"][None],
+            point_masks=batch["point_masks"][None],
+            extrinsics=batch["extrinsics"][None],
+            normal_batch_mask=np.ones((1,), bool),
+            vit_patches=batch["vit_patches"],
+            vit_coords=batch["vit_coords"],
+            vit_seg=batch["vit_seg"],
+            sky_masks=sky_masks,
+        ),
+    )
+
+
+def test_encode_packed_matches_grid_encode(rng):
+    """Single image: the packed/segment path equals the per-frame dense path."""
+    cfg = tiny_test_config()
+    params = qwen_vit.init_params(cfg.vit, jax.random.PRNGKey(3))
+    view = _vit_view(rng)
+    grid = view["grid_thw"]
+    pats = jnp.asarray(view["patches"])
+    ref = qwen_vit.encode(params, pats, grid, cfg.vit)
+
+    pats_p, coords, seg, n_merged = qwen_vit.pack_views([view], pad_to=32)
+    out = qwen_vit.encode_packed(
+        params, jnp.asarray(pats_p), jnp.asarray(coords), jnp.asarray(seg),
+        cfg.vit, attn_impl="dense",
+    )
+    assert n_merged == ref.shape[0]
+    np.testing.assert_allclose(
+        np.asarray(out[:n_merged]), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_packer_emits_fixed_vit_arrays(rng):
+    batch = _pack_joint(rng, max_vit_patches=32)
+    assert batch["vit_patches"].shape == (32, 1176)
+    assert batch["vit_coords"].shape == (32, 2)
+    assert batch["vit_seg"].shape == (32,)
+    # one 4x4-grid image: 16 real rows, 4 merged tokens; rest padding
+    assert (batch["vit_seg"] >= 0).sum() == 16
+    s = 128
+    assert batch["vit_indexes"].shape == (8,)
+    assert (batch["vit_indexes"] < s).sum() == 4
+    # padded slots point out of bounds (dropped by the trainer scatter)
+    assert (batch["vit_indexes"][4:] == s).all()
+
+
+def test_joint_train_forward_grads_all_towers(rng):
+    """A recon+und batch trains all three towers (VERDICT round-1 missing #2):
+    finite loss, nonzero grads into vit, dino, and the llm."""
+    cfg = tiny_test_config()  # visual_und=True
+    params = jg.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    # dino2llm is zero-init (reference g2vlm.py:245-250), which blocks dino
+    # grads at step 0; randomize it so gradient flow is observable
+    params["dino2llm"]["w"] = (
+        jax.random.normal(jax.random.PRNGKey(1), params["dino2llm"]["w"].shape)
+        * 0.02
+    )
+    tb = _to_train_batch(_pack_joint(rng))
+
+    def loss_fn(p):
+        total, details = trainer.train_forward(
+            p, tb, cfg, compute_dtype=jnp.float32
+        )
+        return total, details
+
+    (total, details), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(total))
+    for tower in ("vit", "dino", "llm"):
+        gn = float(optax_global_norm(grads[tower]))
+        assert gn > 0, f"no grads into {tower}"
+    # ce supervision reaches the answer span
+    assert float(details["ce"]) > 0
+
+
+def optax_global_norm(tree):
+    import optax
+
+    return optax.global_norm(tree)
+
+
+def test_joint_split_layout_matches_mixed(rng):
+    """sorted_layout keeps vit scatter indices correct (incl. the padded
+    out-of-bounds slots)."""
+    cfg = tiny_test_config()
+    params = jg.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    tb_m = _to_train_batch(_pack_joint(rng, sorted_layout=False))
+    rng2 = np.random.default_rng(0)
+    tb_s_batch = _pack_joint(rng2, sorted_layout=True)
+    # regenerate with the same rng state as tb_m's builder
+    total_m, det_m = trainer.train_forward(params, tb_m, cfg, compute_dtype=jnp.float32)
+    geo_start = tb_s_batch["geo_start"]
+    tb_s = _to_train_batch(tb_s_batch)
+    total_s, det_s = trainer.train_forward(
+        params, tb_s, cfg, compute_dtype=jnp.float32, geo_start=geo_start
+    )
+    np.testing.assert_allclose(float(total_s), float(total_m), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(det_s["ce"]), float(det_m["ce"]), rtol=1e-4, atol=1e-5)
+
+
+def test_freeze_flags_zero_frozen_updates(rng):
+    """freeze_recon leaves geo subtrees untouched; freeze_und leaves the und
+    expert + vit untouched (VERDICT round-1 weak #3)."""
+    cfg = tiny_test_config()
+    tb = jax.tree.map(
+        lambda x: x[None] if hasattr(x, "ndim") else x, _to_train_batch(_pack_joint(rng))
+    )
+
+    def step(freeze_und, freeze_recon):
+        params = jg.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+        opt = trainer.make_optimizer(
+            learning_rate=1e-2, freeze_und=freeze_und,
+            freeze_recon=freeze_recon, params=params,
+        )
+        state = trainer.init_train_state(params, opt, ema=False)
+        step_fn = trainer.make_train_step(cfg, opt, compute_dtype=jnp.float32)
+        new_state, _ = step_fn(state, tb)
+        return params, new_state.params
+
+    def delta(a, b):
+        import optax
+
+        return float(optax.global_norm(jax.tree.map(lambda x, y: x - y, a, b)))
+
+    p0, p1 = step(freeze_und=False, freeze_recon=True)
+    assert delta(p0["dino"], p1["dino"]) == 0
+    assert delta(p0["point_decoder"], p1["point_decoder"]) == 0
+    assert delta(p0["llm"]["layers"]["q_geo"], p1["llm"]["layers"]["q_geo"]) == 0
+    assert delta(p0["llm"]["layers"]["q"], p1["llm"]["layers"]["q"]) > 0
+    assert delta(p0["vit"], p1["vit"]) > 0
+
+    p0, p1 = step(freeze_und=True, freeze_recon=False)
+    assert delta(p0["vit"], p1["vit"]) == 0
+    assert delta(p0["llm"]["layers"]["q"], p1["llm"]["layers"]["q"]) == 0
+    assert delta(p0["llm"]["layers"]["q_geo"], p1["llm"]["layers"]["q_geo"]) > 0
+    assert delta(p0["dino"], p1["dino"]) > 0
+
+
+def test_conf_loss_with_sky_masks(rng):
+    """train_conf_pi3: conf head predictions + provided sky masks produce a
+    finite conf BCE and grads into the conf tower."""
+    base = tiny_test_config()
+    import dataclasses
+
+    cfg = dataclasses.replace(base, train_conf_pi3=True)
+    params = jg.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    assert "conf_decoder" in params and "conf_head" in params
+
+    batch = _pack_joint(rng)
+    n, _, h, w = batch["dino_images"].shape
+    sky = jnp.asarray((rng.random((1, n, h, w)) < 0.2))
+    tb = _to_train_batch(batch, sky_masks=sky)
+
+    def loss_fn(p):
+        return trainer.train_forward(p, tb, cfg, compute_dtype=jnp.float32)
+
+    (total, details), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(total))
+    assert "local_conf_loss" in details and np.isfinite(float(details["local_conf_loss"]))
+    assert float(optax_global_norm(grads["conf_decoder"])) > 0
+    assert float(optax_global_norm(grads["conf_head"])) > 0

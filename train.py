@@ -37,6 +37,13 @@ def parse_args():
     ap.add_argument("--dp", type=int, default=1)
     ap.add_argument("--tp", type=int, default=1)
     ap.add_argument("--max_num_tokens", type=int, default=36864)
+    ap.add_argument("--max_vit_patches", type=int, default=0,
+                    help="fixed ViT patch-row slots per pack (0 = no vit "
+                         "branch; required >0 for joint recon+und data)")
+    ap.add_argument("--freeze_und", action="store_true",
+                    help="freeze the und expert + semantic ViT")
+    ap.add_argument("--freeze_recon", action="store_true",
+                    help="freeze the geo expert + recon towers/heads")
     ap.add_argument("--split_layout", action="store_true",
                     help="SPLIT expert layout: packer sorts tokens [und|geo] "
                          "and the MoT runs contiguous single-expert matmuls "
@@ -118,6 +125,7 @@ def packer_batches(args, cfg, new_token_ids, tokenizer, data_status):
             max_num_tokens=args.max_num_tokens,
             sorted_layout=args.split_layout,
             geo_start_bucket=args.geo_start_bucket,
+            max_vit_patches=args.max_vit_patches,
         ),
     )
     for b in iter(packed):
@@ -133,6 +141,9 @@ def packer_batches(args, cfg, new_token_ids, tokenizer, data_status):
             point_masks=b["point_masks"][None],
             extrinsics=b["extrinsics"][None],
             normal_batch_mask=np.ones((1,), bool),
+            vit_patches=b.get("vit_patches"),
+            vit_coords=b.get("vit_coords"),
+            vit_seg=b.get("vit_seg"),
         )
         yield (
             __import__("jax").tree.map(lambda x: x[None], tb),  # dp axis
@@ -165,7 +176,11 @@ def main():
     )
 
     logger = create_logger(args.checkpoint_dir)
-    cfg = tiny_test_config() if args.tiny else G2VLMConfig(visual_und=False)
+    cfg = (
+        tiny_test_config()
+        if args.tiny
+        else G2VLMConfig(visual_und=args.max_vit_patches > 0)
+    )
 
     n_dev = len(jax.devices())
     fsdp = n_dev // (args.dp * args.tp)
@@ -189,7 +204,9 @@ def main():
         0.0, args.lr, args.warmup, max(args.steps, args.warmup + 1)
     )
     optimizer = trainer.make_optimizer(
-        schedule=schedule, weight_decay=args.weight_decay
+        schedule=schedule, weight_decay=args.weight_decay,
+        freeze_und=args.freeze_und, freeze_recon=args.freeze_recon,
+        params=params,
     )
     state = trainer.init_train_state(params, optimizer, ema=True)
     mgr = CheckpointManager(args.checkpoint_dir, keep=args.keep_ckpts)
