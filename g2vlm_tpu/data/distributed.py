@@ -59,5 +59,18 @@ class DistributedIterable:
         # reversed, matching the reference (distributed_iterable_dataset.py:56)
         return self.data_paths_per_rank[lo : lo + per_worker][::-1], self.worker_id
 
+    def status_for_worker(self, worker_id: int):
+        """This worker's resume cursor from data_status, or None. Accepts a
+        list indexed by worker, or a dict keyed by int/str worker id (JSON
+        roundtrips stringify keys)."""
+        ds = self.data_status
+        if ds is None:
+            return None
+        if isinstance(ds, dict):
+            return ds.get(worker_id, ds.get(str(worker_id)))
+        if worker_id < len(ds):
+            return ds[worker_id]
+        return None
+
     def __iter__(self):
         raise NotImplementedError

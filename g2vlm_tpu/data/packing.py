@@ -360,6 +360,21 @@ def apply_cojitter(
     )
 
 
+def fold_data_status(
+    status: Dict[str, Dict], data_indexes: Sequence[Dict]
+) -> Dict[str, Dict]:
+    """Fold one emitted batch's consumed-sample cursors into a resume-status
+    dict {dataset_name: {worker_id: last_consumed_index}} — the shape
+    build_groups_from_config(data_status=...) fast-forwards from (reference
+    persists per-rank data_status the same way, fsdp_utils.py:478-530).
+    Mutates and returns `status`."""
+    for di in data_indexes:
+        status.setdefault(di["dataset_name"], {})[di["worker_id"]] = di[
+            "data_indexes"
+        ]
+    return status
+
+
 class PackedIterableDataset:
     """Weighted group sampling + packing loop (reference PackedDataset.__iter__,
     dataset_base.py:310-390)."""

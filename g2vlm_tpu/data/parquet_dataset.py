@@ -51,8 +51,10 @@ class ParquetIterable(DistributedIterable):
         import pyarrow.parquet as pq
 
         files, worker_id = self.get_data_paths_per_worker()
-        if self.data_status is not None:
-            start_file, start_rg, start_row = self.data_status[worker_id]
+        cursor = self.status_for_worker(worker_id)
+        if cursor is not None:
+            start_file, start_rg, start_row = cursor
+            start_row += 1  # resume AFTER the last consumed row
         else:
             start_file = start_rg = start_row = 0
         while True:

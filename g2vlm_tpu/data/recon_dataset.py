@@ -163,7 +163,8 @@ class JsonlReconDataset(DistributedIterable):
         from PIL import Image
 
         rows, worker_id = self.get_data_paths_per_worker()
-        row_start = (self.data_status[worker_id] + 1) if self.data_status else 0
+        cursor = self.status_for_worker(worker_id)
+        row_start = (cursor + 1) if cursor is not None else 0
         retry = 0
         while True:
             for row_idx, (line, src) in enumerate(

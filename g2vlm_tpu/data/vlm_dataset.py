@@ -98,7 +98,8 @@ class JsonlVlmDataset(DistributedIterable):
 
     def __iter__(self) -> Iterator[Dict]:
         rows, worker_id = self.get_data_paths_per_worker()
-        row_start = (self.data_status[worker_id] + 1) if self.data_status else 0
+        cursor = self.status_for_worker(worker_id)
+        row_start = (cursor + 1) if cursor is not None else 0
         while True:
             for row_idx, (line, _) in enumerate(rows[row_start:], start=row_start):
                 try:

@@ -42,7 +42,20 @@ class _HashableArrays:
         return self._hash
 
     def __eq__(self, other):
-        return isinstance(other, _HashableArrays) and self._hash == other._hash
+        if not (isinstance(other, _HashableArrays) and self._hash == other._hash):
+            return False
+        # hash match is necessary but not sufficient: compare the payloads so
+        # a 64-bit collision can't silently reuse a wrong compiled program
+        a = jax.tree_util.tree_leaves(self.payload)
+        b = jax.tree_util.tree_leaves(other.payload)
+        if len(a) != len(b):
+            return False
+        return all(
+            np.array_equal(x, y)
+            if isinstance(x, np.ndarray) or isinstance(y, np.ndarray)
+            else x == y
+            for x, y in zip(a, b)
+        )
 
 
 class G2VLMPipeline:

@@ -63,9 +63,71 @@ def fsdp_param_spec(path_leaf: Tuple, leaf: jax.Array, mesh: Mesh) -> P:
     return P()
 
 
+# TP plan for the MoT decoder's stacked (L, din, dout) layer weights: column-
+# parallel QKV/gate/up (dout = heads / intermediate over tp), row-parallel
+# o/down (din over tp) — Megatron layout via GSPMD, so XLA inserts the one
+# psum per block. The reference only *declares* such a plan as metadata
+# (qwen2vl.py:160-173, never applied); here the spec is the physical layout.
+_TP_COL = frozenset(
+    "q k v q_geo k_geo v_geo gate up".split()
+)  # dout sharded over tp
+_TP_ROW = frozenset("o o_geo down".split())  # din sharded over tp
+
+
+def _divides(dim: int, n: int) -> bool:
+    return n > 1 and dim % n == 0 and dim >= 2 * n
+
+
+def param_spec(path, leaf: jax.Array, mesh: Mesh) -> P:
+    """(fsdp, tp) spec for one param. `path` is a jax key-path tuple."""
+    n_tp = mesh.shape.get(TP, 1)
+    n_fsdp = mesh.shape.get(FSDP, 1)
+    keys = [p.key for p in path if hasattr(p, "key")]
+    name = None
+    for k in reversed(keys):
+        if k not in ("w", "b"):
+            name = k
+            break
+
+    if leaf.ndim == 3 and keys and keys[-1] == "w":
+        # stacked decoder layer weight (L, din, dout)
+        L, din, dout = leaf.shape
+        spec = [None, None, None]
+        if name in _TP_COL and _divides(dout, n_tp):
+            spec[2] = TP
+            if _divides(din, n_fsdp):
+                spec[1] = FSDP
+            return P(*spec)
+        if name in _TP_ROW and _divides(din, n_tp):
+            spec[1] = TP
+            if _divides(dout, n_fsdp):
+                spec[2] = FSDP
+            return P(*spec)
+    if leaf.ndim == 2 and keys and keys[-1] == "b" and name in _TP_COL:
+        # stacked bias (L, dout), column-parallel
+        if _divides(leaf.shape[1], n_tp):
+            return P(None, TP)
+    if keys and keys[-1] in ("embed", "lm_head") and leaf.ndim == 2:
+        # (vocab, d) / (d, vocab): vocab over fsdp, lm_head dout also over tp
+        v_ax = 0 if keys[-1] == "embed" else 1
+        spec = [None, None]
+        if keys[-1] == "lm_head" and _divides(leaf.shape[1], n_tp):
+            spec[1] = TP
+            if _divides(leaf.shape[0], n_fsdp):
+                spec[0] = FSDP
+            return P(*spec)
+        if _divides(leaf.shape[v_ax], n_fsdp):
+            spec[v_ax] = FSDP
+            return P(*spec)
+        return P()
+    return fsdp_param_spec((), leaf, mesh)
+
+
 def shard_params(params: Dict, mesh: Mesh) -> Tuple[Dict, Dict]:
     """Returns (sharded_params, spec_tree)."""
-    specs = jax.tree.map(lambda l: fsdp_param_spec((), l, mesh), params)
+    specs = jax.tree_util.tree_map_with_path(
+        lambda p, l: param_spec(p, l, mesh), params
+    )
     sharded = jax.tree.map(
         lambda l, s: jax.device_put(l, NamedSharding(mesh, s)), params, specs
     )
@@ -73,6 +135,18 @@ def shard_params(params: Dict, mesh: Mesh) -> Tuple[Dict, Dict]:
 
 
 def param_shardings(params: Dict, mesh: Mesh) -> Dict:
-    return jax.tree.map(
-        lambda l: NamedSharding(mesh, fsdp_param_spec((), l, mesh)), params
+    return jax.tree_util.tree_map_with_path(
+        lambda p, l: NamedSharding(mesh, param_spec(p, l, mesh)), params
     )
+
+
+def addressable_param_bytes(params: Dict) -> int:
+    """Per-device bytes actually held for a sharded param tree (device 0)."""
+    total = 0
+    for leaf in jax.tree.leaves(params):
+        if hasattr(leaf, "addressable_shards"):
+            shard = leaf.addressable_shards[0]
+            total += int(np.prod(shard.data.shape)) * leaf.dtype.itemsize
+        else:
+            total += leaf.size * leaf.dtype.itemsize
+    return total

@@ -95,8 +95,11 @@ class CheckpointManager:
         self._mgr.close()
 
 
-def save_params_safetensors(params: Dict, path: str) -> None:
-    """Flat export for interchange (the reference ships model.safetensors)."""
+def save_params_debug_safetensors(params: Dict, path: str) -> None:
+    """DEBUG dump: pytree-path keys with layer-stacked arrays, for inspection
+    only. NOT interchangeable with the reference model.safetensors key space
+    (language_model.model.layers.{i}..., transposed 2-D) and not re-readable
+    by load_checkpoint / params_from_torch."""
     from safetensors.numpy import save_file
 
     flat = {}

@@ -10,6 +10,10 @@ import threading
 from typing import Callable, Iterable, Iterator, Optional
 
 
+class _WorkerDone:
+    """End-of-stream sentinel enqueued when a worker's iterator exhausts."""
+
+
 class PrefetchLoader:
     """Wraps an iterable with N producer threads and a bounded queue.
 
@@ -49,6 +53,10 @@ class PrefetchLoader:
                         continue
         except Exception as e:  # surface worker failures to the consumer
             self.queue.put(e)
+        finally:
+            # end-of-stream sentinel: finite iterators (eval sweeps, smoke
+            # runs) terminate the consumer instead of deadlocking on get()
+            self.queue.put(_WorkerDone())
 
     def _start(self):
         for wid in range(self.num_workers):
@@ -60,8 +68,12 @@ class PrefetchLoader:
     def __iter__(self) -> Iterator:
         if not self._started:
             self._start()
-        while True:
+        live = self.num_workers
+        while live > 0:
             item = self.queue.get()
+            if isinstance(item, _WorkerDone):
+                live -= 1
+                continue
             if isinstance(item, Exception):
                 raise item
             yield item

@@ -22,50 +22,84 @@ def load_safetensors(path: str) -> Dict[str, np.ndarray]:
     return load_file(path)
 
 
+class _RecordingStateDict:
+    """Dict view over a state_dict that records every key the mapper reads,
+    so the audit is an exact inventory of consumed keys — not a prefix check.
+    A lookup of a missing key raises KeyError immediately (hard fail), unlike
+    the reference's strict=False load which silently drops mismatches
+    (g2vlm_utils.py:65)."""
+
+    def __init__(self, sd: Dict):
+        self._sd = sd
+        self.used: set = set()
+
+    def __getitem__(self, k):
+        v = self._sd[k]  # KeyError on missing = hard fail with the key name
+        self.used.add(k)
+        return v
+
+    def __contains__(self, k):
+        return k in self._sd
+
+    def __iter__(self):
+        return iter(self._sd)
+
+    def keys(self):
+        return self._sd.keys()
+
+    def __len__(self):
+        return len(self._sd)
+
+
+# Checkpoint keys legitimately not consumed by the model mapper.
+_IGNORED_PREFIXES = ("Pi3Loss.",)  # frozen loss-module buffers (segformer)
+
+
 def load_checkpoint(
     checkpoint_dir: str,
     cfg: Optional[G2VLMConfig] = None,
     strict: bool = True,
 ) -> Tuple[Dict, G2VLMConfig]:
     """Read the reference checkpoint layout: text_config.json / vit_config.json
-    / dino_config.json + model.safetensors."""
+    / dino_config.json + model.safetensors.
+
+    strict=True hard-fails on BOTH directions of key mismatch: a key the
+    mapper needs but the checkpoint lacks (KeyError from the mapper itself),
+    and a checkpoint key no mapper consumed (so a renamed key can never load
+    garbage silently — SURVEY hard-part #6, anti-goal g2vlm_utils.py:65)."""
     if cfg is None:
         cfg = G2VLMConfig.from_checkpoint_dir(checkpoint_dir)
     sd = load_safetensors(os.path.join(checkpoint_dir, "model.safetensors"))
-    params = jg.params_from_torch(sd, cfg)
-    if strict:
-        report = audit_keys(sd, cfg)
-        if report["missing"]:
-            raise KeyError(f"checkpoint missing keys: {report['missing'][:20]}")
+    if not strict:
+        return jg.params_from_torch(sd, cfg), cfg
+    rec = _RecordingStateDict(sd)
+    params = jg.params_from_torch(rec, cfg)
+    unknown = sorted(
+        k for k in sd
+        if k not in rec.used and not k.startswith(_IGNORED_PREFIXES)
+    )
+    if unknown:
+        raise KeyError(
+            f"checkpoint has {len(unknown)} keys no mapper consumed "
+            f"(renamed/extra?): {unknown[:20]}"
+        )
     return params, cfg
 
 
-def expected_key_prefixes(cfg: G2VLMConfig):
-    pres = ["language_model."]
-    if cfg.visual_recon:
-        pres += [
-            "dino_model.", "dino2llm.", "point_decoder.", "point_head.",
-            "camera_decoder.", "camera_head.",
-        ]
-        if cfg.use_global_points:
-            pres += ["global_points_decoder.", "global_point_head."]
-        if cfg.train_conf_pi3:
-            pres += ["conf_decoder.", "conf_head."]
-    if cfg.visual_und:
-        pres += ["vit_model."]
-    return pres
-
-
 def audit_keys(state_dict: Dict, cfg: G2VLMConfig) -> Dict:
-    """Compare the checkpoint key space against what params_from_torch maps."""
-    pres = expected_key_prefixes(cfg)
-    unknown = [
+    """Exact two-way key-space diff between a reference state_dict and what
+    params_from_torch consumes. Returns {"unknown": [...], "missing": [...]};
+    both empty on a clean checkpoint."""
+    rec = _RecordingStateDict(state_dict)
+    missing = []
+    try:
+        jg.params_from_torch(rec, cfg)
+    except KeyError as e:
+        missing.append(str(e.args[0]))
+    unknown = sorted(
         k for k in state_dict
-        if not any(k.startswith(p) for p in pres)
-        and not k.startswith("Pi3Loss.")  # loss-module buffers (segformer)
-    ]
-    # A light structural check: each mapped prefix must be present.
-    missing = [p for p in pres if not any(k.startswith(p) for k in state_dict)]
+        if k not in rec.used and not k.startswith(_IGNORED_PREFIXES)
+    )
     return {"unknown": unknown, "missing": missing}
 
 

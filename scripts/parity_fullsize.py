@@ -22,6 +22,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--views", type=int, default=2)
     ap.add_argument("--hw", type=int, nargs=2, default=(154, 210))
+    ap.add_argument("--images", type=str, default=None,
+                    help="dir of real frames (e.g. reference examples/dl3dv); "
+                         "loads the first --views frames at --new_width via "
+                         "the standard recon preprocessing, overriding --hw")
+    ap.add_argument("--new_width", type=int, default=518)
     args = ap.parse_args()
 
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -87,11 +92,27 @@ def main():
     print(f"[{time.time()-t0:.0f}s] reference built", flush=True)
 
     n = args.views
-    h, w = args.hw
+    rng = np.random.default_rng(0)
+    if args.images:
+        import glob as globlib
+
+        from g2vlm_tpu.data.images import load_views, resnet_normalize
+
+        paths = sorted(
+            globlib.glob(os.path.join(args.images, "*.png"))
+            + globlib.glob(os.path.join(args.images, "*.jpg"))
+        )[:n]
+        assert len(paths) == n, f"need {n} frames in {args.images}"
+        imgs = resnet_normalize(
+            load_views(paths, new_width=args.new_width)
+        ).astype(np.float32)
+        _, _, h, w = imgs.shape
+        print(f"loaded {n} frames at {h}x{w} from {args.images}", flush=True)
+    else:
+        h, w = args.hw
+        imgs = (rng.standard_normal((n, 3, h, w)) * 0.2).astype(np.float32)
     hp, wp = h // 14, w // 14
     hw_tok = hp * wp
-    rng = np.random.default_rng(0)
-    imgs = (rng.standard_normal((n, 3, h, w)) * 0.2).astype(np.float32)
 
     BOS, SOI, EOI = 151644, 151652, 151653
     prompt = [int(x) for x in rng.integers(100, 5000, 6)]

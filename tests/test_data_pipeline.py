@@ -255,6 +255,47 @@ def test_data_status_resume(scene_jsonl):
     assert sample["data_indexes"]["data_indexes"] == 1
 
 
+def test_data_status_loop_closes(scene_jsonl):
+    """End-to-end resume loop: packer batches expose consumed cursors,
+    fold_data_status builds the checkpoint payload, and a rebuilt dataset
+    fast-forwards — the resumed stream continues instead of replaying
+    (reference fsdp_utils.py:478-530, dataset_base.py:178-182)."""
+    import json as pyjson
+
+    from g2vlm_tpu.data.packing import fold_data_status
+
+    def make_packed(ds):
+        return PackedIterableDataset(
+            groups=[dict(name="recon", dataset=ds, weight=1.0)],
+            new_token_ids=TOKEN_IDS,
+            cfg=PackerConfig(
+                expected_num_tokens=40,
+                max_num_tokens_per_sample=2000,
+                max_num_tokens=4096,
+                max_ce_slots=8,
+                image_num_range=(2, 2),
+            ),
+        )
+
+    it = iter(make_packed(_make_group(scene_jsonl)))
+    status = {}
+    for _ in range(2):
+        b = next(it)
+        assert b["data_indexes"], "packer must surface consumed cursors"
+        fold_data_status(status, b["data_indexes"])
+    last = status["recon"][0]
+
+    # JSON roundtrip (checkpoint file) stringifies worker keys; the dataset
+    # must still find its cursor
+    status = pyjson.loads(pyjson.dumps(status))
+
+    ds2 = _make_group(scene_jsonl)
+    ds2.data_status = status["recon"]
+    resumed = next(iter(make_packed(ds2)))
+    first_resumed = resumed["data_indexes"][0]["data_indexes"]
+    assert first_resumed == last + 1  # continues, not replays
+
+
 def test_len2weight():
     assert len2weight(0) == 0
     assert len2weight(4, "square") == 0.5

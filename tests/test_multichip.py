@@ -42,6 +42,37 @@ def test_param_sharding_actually_shards():
     assert all(np.prod(s) < np.prod(emb.shape) for s in shard_shapes)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_tp_sharding_is_physical():
+    """tp is a physical layout (Megatron column/row parallel), not metadata:
+    per-device shards of QKV / o / MLP weights shrink by the tp factor."""
+    cfg = tiny_test_config()
+    params = jg.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    mesh = meshlib.make_mesh(8, dp=2, fsdp=2, tp=2)
+    sharded, specs = meshlib.shard_params(params, mesh)
+    lay = sharded["llm"]["layers"]
+
+    def shard_shape(a):
+        return a.addressable_shards[0].data.shape
+
+    L, din, dout = lay["q"]["w"].shape
+    assert shard_shape(lay["q"]["w"]) == (L, din // 2, dout // 2)  # col ∥
+    L, din, dout = lay["o"]["w"].shape
+    assert shard_shape(lay["o"]["w"]) == (L, din // 2, dout // 2)  # row ∥
+    L, din, dout = lay["mlp"]["down"]["w"].shape
+    assert shard_shape(lay["mlp"]["down"]["w"]) == (L, din // 2, dout // 2)
+    # column-parallel bias follows its weight
+    L, dout = lay["q"]["b"].shape
+    assert shard_shape(lay["q"]["b"]) == (L, dout // 2)
+
+    # vs a tp=1 mesh the decoder's per-device footprint halves
+    mesh1 = meshlib.make_mesh(8, dp=4, fsdp=2, tp=1)
+    sharded1, _ = meshlib.shard_params(params, mesh1)
+    b2 = meshlib.addressable_param_bytes({"layers": sharded["llm"]["layers"]})
+    b1 = meshlib.addressable_param_bytes({"layers": sharded1["llm"]["layers"]})
+    assert b2 < 0.75 * b1, (b2, b1)
+
+
 def test_sequence_parallel_attention_matches_single(rng):
     """SP attention (q sharded over 8 devices, KV all-gathered) == the
     single-device segment attention, bit-for-pattern across mask regimes."""

@@ -179,3 +179,23 @@ def test_recon_end_to_end_parity(rng):
             rtol=1e-3,
             err_msg=key,
         )
+
+
+def test_key_audit_exact_catches_renamed_key():
+    """audit_keys is an exact consumed-key inventory: a clean reference
+    state_dict audits empty; renaming ONE key (same prefix, so a prefix
+    audit would pass) reports it both as missing and as unknown."""
+    from g2vlm_tpu.weights import audit_keys
+
+    model = _ref_g2vlm()
+    sd = dict(model.state_dict())
+    report = audit_keys(sd, CFG)
+    assert report["unknown"] == [], report["unknown"][:10]
+    assert report["missing"] == []
+
+    bad = dict(sd)
+    val = bad.pop("language_model.model.layers.0.ls1.gamma")
+    bad["language_model.model.layers.0.ls1.weight"] = val
+    report = audit_keys(bad, CFG)
+    assert any("ls1.gamma" in m for m in report["missing"]), report
+    assert "language_model.model.layers.0.ls1.weight" in report["unknown"]

@@ -72,12 +72,21 @@ def test_parse_rows(parquet_file):
 
 
 def test_parquet_resume(parquet_file):
+    # data_status records the LAST CONSUMED [file, row_group, row]; resume
+    # continues with the next sample (matches the jsonl datasets' cursor+1)
+    fresh = ReconThenUndDataset(
+        "spar", [parquet_file], img_size=56, patch_size=14,
+        vit_target_hw=(56, 56),
+    )
+    it = iter(fresh)
+    i0 = next(it)["data_indexes"]["data_indexes"]
+    i1 = next(it)["data_indexes"]["data_indexes"]
     ds = ReconThenUndDataset(
         "spar", [parquet_file], img_size=56, patch_size=14,
-        vit_target_hw=(56, 56), data_status=[[0, 1, 1]],
+        vit_target_hw=(56, 56), data_status=[i0],
     )
     s = next(iter(ds))
-    assert s["data_indexes"]["data_indexes"] == [0, 1, 1]
+    assert s["data_indexes"]["data_indexes"] == i1
 
 
 def test_markers_cover_all_tasks(rng):

@@ -148,6 +148,7 @@ def packer_batches(args, cfg, new_token_ids, tokenizer, data_status):
         yield (
             __import__("jax").tree.map(lambda x: x[None], tb),  # dp axis
             b.get("geo_start"),
+            b.get("data_indexes", []),
         )
 
 
@@ -231,15 +232,25 @@ def main():
         )
 
     if args.synthetic:
-        batches = ((b, None) for b in synthetic_batches(cfg, args.dp, args.seed))
+        batches = (
+            (b, None, []) for b in synthetic_batches(cfg, args.dp, args.seed)
+        )
     else:
         batches = packer_batches(args, cfg, new_token_ids, tokenizer, data_status)
 
+    from g2vlm_tpu.data.packing import fold_data_status
+
+    # running resume cursors, folded per consumed batch and persisted with
+    # each checkpoint (reference per-rank data_status, fsdp_utils.py:478-530)
+    status = dict(data_status or {})
     timer = StepTimer()
     with mesh:
-        for step, (batch, geo_start) in enumerate(batches, start=int(state.step)):
+        for step, (batch, geo_start, dixs) in enumerate(
+            batches, start=int(state.step)
+        ):
             if step >= args.steps:
                 break
+            fold_data_status(status, dixs)
             with maybe_profile(args.profile_dir, step, 5, 3):
                 state, metrics = get_step_fn(geo_start)(state, batch)
             if step % args.log_every == 0:
@@ -247,9 +258,9 @@ def main():
                 dt = timer.tick()
                 logger.info(format_metrics(step, metrics, timer.avg_step_time))
             if step > 0 and step % args.ckpt_every == 0:
-                mgr.save(step, state, data_status=None)
+                mgr.save(step, state, data_status=status or None)
                 logger.info(f"checkpointed step {step}")
-    mgr.save(int(state.step), state)
+    mgr.save(int(state.step), state, data_status=status or None)
     mgr.wait()
     logger.info("done")
 
