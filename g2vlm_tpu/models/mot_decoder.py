@@ -63,6 +63,24 @@ def _lin(x, p, dtype):
     return y
 
 
+def _attention(q, k, v, q_info, kv_info, attn_impl, sp):
+    """Attention dispatch: ordinary segment attention, or sequence-parallel
+    over a mesh axis when `sp=(mesh, axis_name)` is set (shard_map sharding
+    the packed token axis; KV all-gathered per layer — parallel/sequence.py).
+    The reference has no sequence parallelism (SURVEY §2.3); this is TPU
+    headroom for >32-view contexts."""
+    if sp is not None:
+        from ..parallel.sequence import sequence_parallel_attention
+
+        mesh, axis = sp
+        n = mesh.shape[axis]
+        if q.shape[0] % n == 0 and k.shape[0] % n == 0:
+            return sequence_parallel_attention(
+                q, k, v, q_info, kv_info, mesh, axis, impl=attn_impl
+            )
+    return segment_attention(q, k, v, q_info, kv_info, impl=attn_impl)
+
+
 def _select(is_geo, geo, und):
     return jnp.where(is_geo[:, None], geo, und)
 
@@ -83,7 +101,8 @@ def _mlp(x, p, dtype):
 
 
 def _geo_main_layer(
-    lp, x, und_idx, cos, sin, q_info, kv_info, past_kv, cfg, dt, attn_impl
+    lp, x, und_idx, cos, sin, q_info, kv_info, past_kv, cfg, dt, attn_impl,
+    sp=None,
 ):
     """MoT layer computing the geo expert for ALL rows and re-doing the few
     und rows (gather -> und expert -> scatter). Exactly equivalent to MIXED
@@ -135,7 +154,7 @@ def _geo_main_layer(
     if kv_info is None:
         kv_info = q_info
 
-    attn = segment_attention(q, k_all, v_all, q_info, kv_info, impl=attn_impl)
+    attn = _attention(q, k_all, v_all, q_info, kv_info, attn_impl, sp)
     attn = attn.reshape(s, nh * hd)
     out = _lin(attn, lp["o_geo"], dt) * lp["ls1"].astype(dt)
     out = out.at[und_idx].set(_lin(attn[und_idx], lp["o"], dt))
@@ -151,7 +170,8 @@ def _geo_main_layer(
 
 
 def _split_layer(
-    lp, x, geo_start, cos, sin, q_info, kv_info, past_kv, cfg, dt, attn_impl
+    lp, x, geo_start, cos, sin, q_info, kv_info, past_kv, cfg, dt, attn_impl,
+    sp=None,
 ):
     """MoT layer over a [und | geo] sorted physical layout with a static
     boundary: every expert matmul runs on a contiguous slice — 1x FLOPs for
@@ -200,7 +220,7 @@ def _split_layer(
     if kv_info is None:
         kv_info = q_info
 
-    attn = segment_attention(q, k_all, v_all, q_info, kv_info, impl=attn_impl)
+    attn = _attention(q, k_all, v_all, q_info, kv_info, attn_impl, sp)
     attn = attn.reshape(s, nh * hd)
     out = both(
         _lin(attn[:b], lp["o"], dt),
@@ -230,11 +250,13 @@ def mot_layer_forward(
     attn_impl: str = "auto",
     und_fixup_idx: Optional[jax.Array] = None,
     geo_start: Optional[int] = None,
+    sp=None,
 ) -> Tuple[jax.Array, LayerKV]:
     """One MoT decoder layer over packed tokens. Returns (hidden, new_kv).
 
     `past_kv` (if given) is the cache prefix: attention runs over
     [past_kv ; new kv] with kv_info covering the concatenation.
+    `sp=(mesh, axis_name)` runs attention sequence-parallel (see _attention).
     """
     nh, kvh, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     s = x.shape[0]
@@ -246,13 +268,13 @@ def mot_layer_forward(
         assert variant == "mot" and und_fixup_idx is not None
         return _geo_main_layer(
             lp, x, und_fixup_idx, cos, sin, q_info, kv_info, past_kv, cfg, dt,
-            attn_impl,
+            attn_impl, sp=sp,
         )
     if expert_mode == SPLIT:
         assert variant == "mot" and geo_start is not None
         return _split_layer(
             lp, x, geo_start, cos, sin, q_info, kv_info, past_kv, cfg, dt,
-            attn_impl,
+            attn_impl, sp=sp,
         )
 
     residual = x
@@ -318,7 +340,7 @@ def mot_layer_forward(
     if kv_info is None:
         kv_info = q_info
 
-    attn = segment_attention(q, k_all, v_all, q_info, kv_info, impl=attn_impl)
+    attn = _attention(q, k_all, v_all, q_info, kv_info, attn_impl, sp)
     attn = attn.reshape(s, nh * hd)
 
     if has_expert_attn:
@@ -388,11 +410,17 @@ def decoder_forward(
     geo_start: Optional[int] = None,
     remat: bool = False,
     collect_hidden: bool = False,
+    sp=None,
 ) -> Tuple[jax.Array, Dict]:
     """Run all layers. Returns (hidden (S, D) after final norm, aux dict with
     new_kv stacked {"k": (L, S, KVH, HD), "v": ...} and, when collect_hidden,
     "hidden_states" (L, S, D) — the reference's output_hidden_states /
     intermediate_layers capability (qwen2vl.py:1236-1249)).
+
+    sp=(mesh, axis_name) enables sequence-parallel attention: the packed
+    token axis is shard_map-sharded over `axis_name` and KV is all-gathered
+    per layer (parallel/sequence.py) — context-parallel scaling the
+    reference lacks.
     """
     cos, sin = mrope_cos_sin(
         position_ids, cfg.head_dim, cfg.rope_theta, cfg.mrope_section
@@ -418,6 +446,7 @@ def decoder_forward(
             attn_impl,
             und_fixup_idx=und_fixup_idx,
             geo_start=geo_start,
+            sp=sp,
         )
         return h, ((new_kv, h) if collect_hidden else new_kv)
 

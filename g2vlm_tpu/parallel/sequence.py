@@ -17,7 +17,7 @@ n_dev pipeline steps; at these KV sizes the gather wins on v5e ICI
 
 Use inside shard_map (manual mode), e.g.:
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     attn = shard_map(
         functools.partial(sp_segment_attention, axis_name="fsdp"),
         mesh=mesh,
@@ -85,7 +85,10 @@ def sequence_parallel_attention(
     `axis_name`, computes attention sequence-parallel, returns the global
     result (sharded on the same axis). Sequence lengths must divide the axis
     size — the packer's fixed max_num_tokens makes that a config choice."""
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     n = mesh.shape[axis_name]
     assert q.shape[0] % n == 0 and k.shape[0] % n == 0, (

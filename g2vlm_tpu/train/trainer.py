@@ -75,6 +75,7 @@ def train_forward(
     remat: bool = True,
     geo_start: Optional[int] = None,
     conf_target_thresh: float = 0.02,
+    sp=None,
 ) -> Tuple[jax.Array, Dict]:
     """One packed sample -> scalar loss + details.
 
@@ -122,6 +123,7 @@ def train_forward(
         compute_dtype=compute_dtype,
         attn_impl=attn_impl,
         remat=remat,
+        sp=sp,
     )
 
     details: Dict[str, jax.Array] = {}
@@ -273,19 +275,34 @@ def make_train_step(
     donate: bool = True,
     remat: bool = True,
     geo_start: Optional[int] = None,
+    sp=None,
 ):
     """Returns train_step(state, batch) -> (state, metrics). `batch` carries a
     leading dp-batch axis; the loss is the mean over it. Pass geo_start (a
-    static int, bucketed by the packer) to train in the SPLIT expert layout."""
+    static int, bucketed by the packer) to train in the SPLIT expert layout.
+
+    sp=(mesh, axis_name) trains with sequence-parallel attention: shard_map
+    can't sit under vmap, so the per-device batch axis is consumed with a
+    Python loop (SP shards one long pack across chips — per-device batch is
+    normally 1 there anyway)."""
 
     def loss_fn(params, batch):
         def one(b):
             return train_forward(
                 params, b, cfg, compute_dtype=compute_dtype,
                 attn_impl=attn_impl, remat=remat, geo_start=geo_start,
+                sp=sp,
             )
 
-        total, details = jax.vmap(one)(batch)
+        if sp is not None:
+            outs = [
+                one(jax.tree.map(lambda x, i=i: x[i], batch))
+                for i in range(jax.tree.leaves(batch)[0].shape[0])
+            ]
+            total = jnp.stack([t for t, _ in outs])
+            details = jax.tree.map(lambda *xs: jnp.stack(xs), *[d for _, d in outs])
+        else:
+            total, details = jax.vmap(one)(batch)
         return jnp.mean(total), jax.tree.map(jnp.mean, details)
 
     def train_step(state: TrainState, batch: TrainBatch):

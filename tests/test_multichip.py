@@ -101,3 +101,80 @@ def test_sequence_parallel_attention_matches_single(rng):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4
     )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_decoder_forward_sequence_parallel_matches(rng):
+    """Full MoT decoder (all layers, MIXED routing, mask regimes) with
+    sp=(mesh, axis) == the plain forward — the decoder_forward-level flag of
+    VERDICT item 10, not just the bare attention op."""
+    from jax.sharding import Mesh
+
+    from g2vlm_tpu.models import mot_decoder
+    from g2vlm_tpu.ops.masks import TokenInfo, make_token_info_np
+
+    cfg = tiny_test_config().llm
+    params = mot_decoder.init_params(cfg, jax.random.PRNGKey(1), jnp.float32)
+
+    S = 256
+    x = jnp.asarray(rng.standard_normal((S, cfg.hidden_size)), jnp.float32)
+    is_geo = jnp.asarray(rng.random(S) < 0.5)
+    position_ids = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (3, S))
+    info = make_token_info_np(
+        [128, 128], [64, 64, 100, 28], ["causal", "full", "full", "causal"]
+    )
+
+    kwargs = dict(
+        q_info=info, kv_info=None, past_kv=None, cfg=cfg,
+        expert_mode=mot_decoder.MIXED, compute_dtype=jnp.float32,
+        attn_impl="dense",
+    )
+    ref, _ = mot_decoder.decoder_forward(
+        params, x, is_geo, position_ids, **kwargs
+    )
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("fsdp",))
+    got, _ = jax.jit(
+        lambda p, xx: mot_decoder.decoder_forward(
+            p, xx, is_geo, position_ids, sp=(mesh, "fsdp"), **kwargs
+        )
+    )(params, x)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=5e-4, rtol=1e-4
+    )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_train_step_sequence_parallel(rng):
+    """A jitted train step with sp enabled runs and produces a finite loss
+    matching the non-SP step (same batch, same params)."""
+    import optax
+
+    from g2vlm_tpu.train import trainer
+    from tests.test_joint_train import _pack_joint, _to_train_batch
+
+    cfg = tiny_test_config(visual_und=True)
+    params = jg.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    # leading dp-batch axis of 1 (the SP step consumes it with a Python loop)
+    batch = jax.tree.map(lambda x: x[None], _to_train_batch(_pack_joint(rng)))
+    opt = optax.sgd(1e-3)
+    state = trainer.init_train_state(params, opt, ema=False)
+
+    step = jax.jit(trainer.make_train_step(
+        cfg, opt, compute_dtype=jnp.float32, remat=False
+    ))
+    _, m_ref = step(state, batch)
+
+    mesh = meshlib.make_mesh(8, dp=1, fsdp=8, tp=1)
+    sharded, _ = meshlib.shard_params(params, mesh)
+    state_sp = trainer.init_train_state(sharded, opt, ema=False)
+    with mesh:
+        step_sp = jax.jit(trainer.make_train_step(
+            cfg, opt, compute_dtype=jnp.float32, remat=False,
+            sp=(mesh, "fsdp"),
+        ))
+        _, m_sp = step_sp(state_sp, batch)
+    ref_loss = float(m_ref["loss"])
+    sp_loss = float(m_sp["loss"])
+    assert np.isfinite(sp_loss)
+    np.testing.assert_allclose(sp_loss, ref_loss, rtol=1e-3)

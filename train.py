@@ -36,6 +36,10 @@ def parse_args():
     ap.add_argument("--log_every", type=int, default=10)
     ap.add_argument("--dp", type=int, default=1)
     ap.add_argument("--tp", type=int, default=1)
+    ap.add_argument("--sequence_parallel", action="store_true",
+                    help="shard the packed token axis over the fsdp mesh "
+                         "axis for attention (context parallelism; "
+                         "parallel/sequence.py)")
     ap.add_argument("--max_num_tokens", type=int, default=36864)
     ap.add_argument("--max_vit_patches", type=int, default=0,
                     help="fixed ViT patch-row slots per pack (0 = no vit "
@@ -220,6 +224,10 @@ def main():
     # the packer buckets it so in practice there are only a few)
     import functools
 
+    sp = (mesh, "fsdp") if args.sequence_parallel and fsdp > 1 else None
+    if args.sequence_parallel and sp is None:
+        logger.info("--sequence_parallel ignored: fsdp axis is 1")
+
     @functools.lru_cache(maxsize=8)
     def get_step_fn(geo_start):
         return jax.jit(
@@ -228,6 +236,7 @@ def main():
                 compute_dtype=jnp.float32 if args.tiny else jnp.bfloat16,
                 ema_decay=args.ema_decay,
                 geo_start=geo_start,
+                sp=sp,
             )
         )
 
