@@ -97,6 +97,22 @@ class G2VLMPipeline:
             ids = [self.new_token_ids["bos_token_id"]] + ids
         return ids
 
+    def _start_token(self) -> int:
+        """Decode start token per reference prepare_start_tokens
+        (g2vlm.py:1042-1068): last id of the fixed chat template encoded
+        WITHOUT special tokens (the template's trailing newline -> for the
+        Qwen2 tokenizer this is id 198, '\\n'); tokenizer-less runs fall back
+        to the eos/pad ids the reference uses."""
+        template = (
+            "<|im_start|>user\\your text<|im_end|>\n<|im_start|>assistant\n"
+        )
+        if self.tokenizer is None:
+            return self.new_token_ids["eos_token_id"]
+        ids = self.tokenizer.encode(template, add_special_tokens=False)
+        if ids:
+            return ids[-1]
+        return getattr(self.tokenizer, "eos_token_id", None) or 151643
+
     def _make_recon_fn(self, shape_key):
         """One jitted recon program per (n_views, H, W, prompt). The prefill
         metadata is host-built and closed over as compile-time constants so
@@ -114,7 +130,7 @@ class G2VLMPipeline:
         return jax.jit(fn)
 
     def _make_chat_prefill_fn(self, key: "_HashableArrays"):
-        prefill, vit_grid = key.payload
+        prefill, vit_coords, vit_seg = key.payload
 
         def fn(params, dino_images, vit_patches):
             return jg.prefill_hidden(
@@ -125,7 +141,8 @@ class G2VLMPipeline:
                 compute_dtype=self.compute_dtype,
                 attn_impl=self.attn_impl,
                 vit_patches=vit_patches,
-                vit_grid_hw=vit_grid,
+                vit_coords=jnp.asarray(vit_coords),
+                vit_seg=jnp.asarray(vit_seg),
                 return_kv=True,
             )
 
@@ -229,37 +246,39 @@ class G2VLMPipeline:
         n, _, h, w = views.shape
         p = self.cfg.dino_patch_size
 
+        from ..models.qwen_vit import pack_views
+
+        # per-image grids supported (reference feeds variable grid_thw through
+        # flash-attn cu_seqlens, modeling_qwen2_vl.py:1048-1072; here each
+        # image is an attention segment in encode_packed)
         vit_inputs = [preprocess_vit_image(im) for im in images]
-        vit_patches = np.concatenate([x[0] for x in vit_inputs], axis=0)
-        g0 = vit_inputs[0][1]
-        assert all(x[1] == g0 for x in vit_inputs), "mixed vit grids"
-        vit_grid = (n * g0[0], g0[1], g0[2])
-        hm, wm = g0[1] // 2, g0[2] // 2
+        vit_views = [
+            {"patches": pats, "grid_thw": grid} for pats, grid in vit_inputs
+        ]
+        n_pat = sum(int(np.prod(g)) for _, g in vit_inputs)
+        vit_patches, vit_coords, vit_seg, _ = pack_views(
+            vit_views, pad_to=_round_up(n_pat, 8)
+        )
 
         b = jg.SequenceBuilder(
             self.new_token_ids["start_of_image"], self.new_token_ids["end_of_image"]
         )
         b.add_text(self._encode_text(self.SYSTEM_PROMPT))
         b.add_dino_images(n, h // p, w // p)
-        for _ in range(n):
-            b.add_vit_image(hm, wm)
+        for _, (_, gh, gw) in vit_inputs:
+            b.add_vit_image(gh // 2, gw // 2)
         b.add_text(
             self._encode_text(prompt + "<|im_end|>\n<|im_start|>assistant")
         )
         pad_to = _round_up(b.curr, self.seq_pad_multiple)
         prefill = b.build(pad_to=pad_to)
 
-        # start token: last id of the chat template (reference
-        # prepare_start_tokens, g2vlm.py:1042-1068)
-        template_ids = self._encode_text(
-            "<|im_start|>user\\your text<|im_end|>\n<|im_start|>assistant\n"
-        )
-        start_token = template_ids[-1] if template_ids else self.new_token_ids[
-            "eos_token_id"
-        ]
+        start_token = self._start_token()
 
         normed = jnp.asarray(resnet_normalize(views))
-        fn = self._chat_prefill_jit(_HashableArrays((prefill, vit_grid)))
+        fn = self._chat_prefill_jit(
+            _HashableArrays((prefill, vit_coords, vit_seg))
+        )
         hidden, kv = fn(self.params, normed, jnp.asarray(vit_patches))
 
         capacity = max(

@@ -320,8 +320,16 @@ def prefill_hidden(
     vit_patches: Optional[jax.Array] = None,
     vit_grid_hw: Optional[Tuple[int, int]] = None,
     return_kv: bool = False,
+    vit_coords: Optional[jax.Array] = None,
+    vit_seg: Optional[jax.Array] = None,
 ):
-    """One packed prefill forward. Returns (hidden (S, D), kv or None)."""
+    """One packed prefill forward. Returns (hidden (S, D), kv or None).
+
+    ViT images enter either as one uniform grid (vit_grid_hw, reference
+    prepare_vit_images g2vlm.py:735-810) or as packed per-image grids
+    (vit_coords/vit_seg -> qwen_vit.encode_packed), matching the reference's
+    variable-grid flash-attn cu_seqlens path (modeling_qwen2_vl.py:1048-1072).
+    """
     d = cfg.llm.hidden_size
     seq = jnp.zeros((len(prefill.doc_id), d), compute_dtype)
     text_emb = mot_decoder.embed_tokens(params["llm"], jnp.asarray(prefill.text_ids))
@@ -334,9 +342,15 @@ def prefill_hidden(
     if vit_patches is not None and len(prefill.vit_indexes):
         from . import qwen_vit
 
-        vit_emb = qwen_vit.encode(
-            params["vit"], vit_patches, vit_grid_hw, cfg.vit, compute_dtype
-        )
+        if vit_coords is not None:
+            vit_emb = qwen_vit.encode_packed(
+                params["vit"], vit_patches, vit_coords, vit_seg, cfg.vit,
+                compute_dtype, attn_impl=attn_impl,
+            )[: len(prefill.vit_indexes)]
+        else:
+            vit_emb = qwen_vit.encode(
+                params["vit"], vit_patches, vit_grid_hw, cfg.vit, compute_dtype
+            )
         seq = seq.at[jnp.asarray(prefill.vit_indexes)].set(
             vit_emb.astype(compute_dtype)
         )

@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Stage-level TPU profile of the 32-view recon forward.
+
+Times each pipeline stage as its own jitted program with device-resident
+inputs and single-element syncs (whole-array fetches through the tunnel cost
+~0.5s and must not be timed). Used to target kernel work; results recorded
+in docs/BENCH_NOTES.md.
+
+  python scripts/profile_recon.py [--views 32] [--stages dino,prefill,heads]
+"""
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def timeit(name, fn, *args, sync, iters=3):
+    out = fn(*args)
+    sync(out)
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        sync(out)
+        ts.append(time.perf_counter() - t0)
+    print(f"{name:28s} {min(ts)*1e3:9.1f} ms", flush=True)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--views", type=int, default=32)
+    ap.add_argument("--hw", type=int, nargs=2, default=(294, 518))
+    ap.add_argument(
+        "--stages", type=str, default="dino,prefill,heads,heads_sub"
+    )
+    args = ap.parse_args()
+    stages = set(args.stages.split(","))
+
+    import jax
+    import jax.numpy as jnp
+
+    from g2vlm_tpu.utils.jax_cache import enable as enable_cache
+
+    enable_cache()
+    from g2vlm_tpu.config import G2VLMConfig
+    from g2vlm_tpu.models import g2vlm as jg
+    from g2vlm_tpu.models import pi3_heads
+
+    cfg = G2VLMConfig(visual_und=False)
+    params = jg.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    params = jax.tree.map(jax.device_put, params)
+    jax.block_until_ready(params)
+
+    n = args.views
+    h, w = args.hw
+    p = cfg.dino_patch_size
+    hp, wp = h // p, w // p
+    hw_tok = hp * wp
+    key = jax.random.PRNGKey(1)
+    imgs = jax.device_put(
+        jax.random.normal(key, (n, 3, h, w), jnp.float32) * 0.2
+    )
+    jax.block_until_ready(imgs)
+
+    def sync(x):
+        leaf = jax.tree.leaves(x)[0]
+        np.asarray(leaf.ravel()[0])
+
+    dt = jnp.bfloat16
+
+    if "dino" in stages:
+        f = jax.jit(
+            functools.partial(jg.encode_dino_to_llm, cfg=cfg, compute_dtype=dt)
+        )
+        timeit("dino encode + proj", f, params, imgs, sync=sync)
+
+    builder = jg.SequenceBuilder(151652, 151653)
+    builder.add_text([151644] + [200] * 6)
+    builder.add_dino_images(n, hp, wp)
+    prefill = builder.build()
+
+    if "prefill" in stages:
+        f = jax.jit(
+            lambda pr, im: jg.prefill_hidden(
+                pr, prefill, im, cfg, compute_dtype=dt
+            )[0]
+        )
+        hidden = timeit("full prefill (dino+MoT)", f, params, imgs, sync=sync)
+    else:
+        hidden = jax.jit(
+            lambda pr, im: jg.prefill_hidden(
+                pr, prefill, im, cfg, compute_dtype=dt
+            )[0]
+        )(params, imgs)
+    dino_hidden = jax.device_put(
+        hidden[jnp.asarray(prefill.dino_indexes)].reshape(n, hw_tok, -1)
+    )
+    jax.block_until_ready(dino_hidden)
+
+    if "heads" in stages:
+        f = jax.jit(
+            lambda pr, dh: jg.pi3_predict(pr, dh, (h, w), cfg, compute_dtype=dt)
+        )
+        timeit("pi3 heads (all)", f, params, dino_hidden, sync=sync)
+
+    if "heads_sub" in stages:
+        pos = pi3_heads.patch_positions(n, hp, wp)
+
+        f = jax.jit(
+            lambda pr, dh: pi3_heads.decoder_forward(
+                pr["point_decoder"], dh, pos, cfg.pi3, compute_dtype=dt
+            )
+        )
+        ph = timeit("  point decoder (5 blk)", f, params, dino_hidden, sync=sync)
+
+        f = jax.jit(
+            lambda pr, dh: pi3_heads.decoder_forward(
+                pr["global_decoder"], dh, pos, cfg.pi3,
+                context=jnp.broadcast_to(dh[:1], dh.shape),
+                context_positions=pos, compute_dtype=dt,
+            )
+        )
+        timeit("  global decoder (cross)", f, params, dino_hidden, sync=sync)
+
+        f = jax.jit(
+            lambda pr, x: pi3_heads.linear_pts3d(
+                pr["point_head"], x.astype(jnp.float32), (h, w), p
+            )
+        )
+        timeit("  linear_pts3d", f, params, ph, sync=sync)
+
+        f = jax.jit(
+            lambda pr, x: pi3_heads.camera_head(
+                pr["camera_head"], x.astype(jnp.float32), hp, wp
+            )
+        )
+        timeit("  camera head", f, params, ph, sync=sync)
+
+
+if __name__ == "__main__":
+    main()

@@ -147,3 +147,41 @@ def test_chat_end_to_end_token_parity(rng):
     got_tokens = [int(x) for x in got.split()]
 
     assert got_tokens == ref_tokens
+
+
+@pytest.mark.slow
+def test_chat_mixed_vit_grids_token_parity(rng):
+    """Images with DIFFERENT vit grids in one chat (the reference's variable
+    grid_thw path) — the packed per-image-grid encode must match."""
+    from PIL import Image
+
+    model = _ref_g2vlm()
+    imgs = [
+        Image.fromarray((rng.random((84, 112, 3)) * 255).astype(np.uint8)),
+        Image.fromarray((rng.random((112, 84, 3)) * 255).astype(np.uint8)),
+    ]
+    question = "Which image is wider?"
+
+    tok = FakeTokenizer()
+    with torch_ref.fp32_casts():
+        ref_out = model.chat_with_recon(
+            tokenizer=tok,
+            new_token_ids=dict(TOKEN_IDS),
+            image_transform=FakeVitTransform(),
+            dino_image_transform=None,
+            images=imgs,
+            prompt=question,
+            max_length=MAX_NEW + 1,
+            do_sample=False,
+        )
+    ref_tokens = [int(x) for x in ref_out.split()]
+
+    params = jg.params_from_torch(model.state_dict(), CFG)
+    pipe = G2VLMPipeline(
+        params, CFG, tokenizer=tok, new_token_ids=dict(TOKEN_IDS),
+        compute_dtype=jnp.float32,
+    )
+    got = pipe.chat(imgs, question, max_new_tokens=MAX_NEW)
+    got_tokens = [int(x) for x in got.split()]
+
+    assert got_tokens == ref_tokens
