@@ -48,18 +48,31 @@ def main():
     rng = np.random.default_rng(0)
     frames = rng.integers(0, 256, (n_views, 294, 518, 3), dtype=np.uint8)
 
-    # warmup/compile
+    # warmup/compile (twice: the second run hits steady-state allocator/
+    # dispatch paths so the timed loop isn't polluted by first-call overhead)
+    out = pipe.recon_from_frames(frames)
+    np.asarray(out["points"][0, 0, 0])
     out = pipe.recon_from_frames(frames)
     np.asarray(out["points"][0, 0, 0])
 
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         out = pipe.recon_from_frames(frames)
         np.asarray(out["points"][0, 0, 0])  # device sync (outputs stay on-chip)
         times.append(time.perf_counter() - t0)
     dt = min(times)
     fps = n_views / dt
+
+    # correctness tripwire (stderr; the stdout contract is ONE JSON line):
+    # a full-output checksum so throughput can't drift away from correct
+    # outputs unnoticed. Not timed — whole-array fetches cost ~0.5s each.
+    chk = {
+        k: float(np.asarray(out[k]).astype(np.float64).sum())
+        for k in ("points", "local_points", "camera_poses")
+    }
+    finite = all(np.isfinite(v) for v in chk.values())
+    print(f"checksums: {chk} finite={finite}", file=sys.stderr)
 
     prev = None
     try:

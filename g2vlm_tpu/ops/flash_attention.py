@@ -111,9 +111,27 @@ def _tile_mask(qm_ref, km_ref):
     )
 
 
-def _online_softmax_update(s, mask, v, m_scr, l_scr, acc_scr):
+def _online_softmax_update(s, mask, v, m_scr, l_scr, acc_scr,
+                           static_max=False):
     """One kv-tile contribution to the running (m, l, acc) statistics.
-    mask=None on BLOCK_FULL tiles skips all masking VPU work."""
+    mask=None on BLOCK_FULL tiles skips all masking VPU work.
+
+    static_max: m_scr already holds a per-row UPPER BOUND on the logits
+    (from ||q||*max||k||, see _flash_kernel) — the running max, the alpha
+    rescales of l/acc, and the max-reduce -> exp serialization all drop out;
+    softmax is shift-invariant so the result is identical."""
+    if static_max:
+        p = jnp.exp(s - m_scr[:, :1])
+        if mask is not None:
+            p = jnp.where(mask, p, 0.0)
+        l_scr[:, :1] += jnp.sum(p, axis=1, keepdims=True)
+        acc_scr[:] += jax.lax.dot_general(
+            p.astype(v.dtype),
+            v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return
     m_prev = m_scr[:, :1]  # (BQ, 1)
     m_cur = jnp.max(s, axis=1, keepdims=True)  # (BQ, 1)
     m_new = jnp.maximum(m_prev, m_cur)
@@ -135,6 +153,7 @@ def _online_softmax_update(s, mask, v, m_scr, l_scr, acc_scr):
 
 def _flash_kernel(
     codes_ref,  # (n_q, n_kv) int32 in SMEM (scalar prefetch)
+    kmax_ref,  # (KVH,) fp32 in SMEM: max ||k|| per kv head (static_max)
     q_ref,  # (G, BQ, D) — ALL q heads of one GQA group packed per step, so
             # each kv block is fetched once per group instead of once per
             # q head (6x less KV HBM traffic at Qwen2-VL's 12:2 ratio)
@@ -145,13 +164,15 @@ def _flash_kernel(
              # (BK, 4) columns into (1, BK) rows would be a sublane->lane
              # relayout that makes Mosaic spill ~130MB of registers
     o_ref,  # (G, BQ, D)
-    m_scr,  # (G*BQ, 128) fp32 running max (lane-broadcast)
+    m_scr,  # (G*BQ, 128) fp32 running max / static bound (lane-broadcast)
     l_scr,  # (G*BQ, 128) fp32 running sum
     acc_scr,  # (G*BQ, D) fp32
     *,
     scale: float,
     n_kv_blocks: int,
+    static_max: bool,
 ):
+    hh = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
     code = codes_ref[i, j]
@@ -159,7 +180,17 @@ def _flash_kernel(
 
     @pl.when(j == 0)
     def _():
-        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        if static_max:
+            # softmax shift = a provable per-row logit upper bound:
+            # scale*||q_row||*max||k|| (softmax is shift-invariant, so this
+            # is exact). Capped at 40 so even a 2*bound logit span stays in
+            # fp32 exp range; see flash_segment_attention docstring.
+            qf = q_ref[...].reshape(g * bq, d).astype(jnp.float32)
+            qn = jnp.sqrt(jnp.sum(qf * qf, axis=1, keepdims=True))
+            bound = jnp.minimum(qn * (kmax_ref[hh] * scale), 40.0)
+            m_scr[:] = jnp.broadcast_to(bound, m_scr.shape)
+        else:
+            m_scr[:] = jnp.full_like(m_scr, NEG_INF)
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
@@ -174,7 +205,8 @@ def _flash_kernel(
     @pl.when(code == BLOCK_FULL)
     def _():
         _online_softmax_update(
-            scores(), None, v_ref[0], m_scr, l_scr, acc_scr
+            scores(), None, v_ref[0], m_scr, l_scr, acc_scr,
+            static_max=static_max,
         )
 
     @pl.when(code == BLOCK_PARTIAL)
@@ -182,7 +214,9 @@ def _flash_kernel(
         # token mask is head-independent: tile across the packed heads
         mask = jnp.tile(_tile_mask(qm_ref, km_ref), (g, 1))
         s = jnp.where(mask, scores(), NEG_INF)
-        _online_softmax_update(s, mask, v_ref[0], m_scr, l_scr, acc_scr)
+        _online_softmax_update(
+            s, mask, v_ref[0], m_scr, l_scr, acc_scr, static_max=static_max
+        )
 
     @pl.when(j == n_kv_blocks - 1)
     def _():
@@ -193,13 +227,15 @@ def _flash_kernel(
 
 
 def _flash_kernel_lse(
-    codes_ref, q_ref, k_ref, v_ref, qm_ref, km_ref, o_ref, lse_ref,
+    codes_ref, kmax_ref, q_ref, k_ref, v_ref, qm_ref, km_ref, o_ref, lse_ref,
     m_scr, l_scr, acc_scr, *, scale: float, n_kv_blocks: int,
+    static_max: bool,
 ):
     """Forward that also emits the per-row logsumexp (for the backward)."""
     _flash_kernel(
-        codes_ref, q_ref, k_ref, v_ref, qm_ref, km_ref, o_ref,
+        codes_ref, kmax_ref, q_ref, k_ref, v_ref, qm_ref, km_ref, o_ref,
         m_scr, l_scr, acc_scr, scale=scale, n_kv_blocks=n_kv_blocks,
+        static_max=static_max,
     )
     j = pl.program_id(2)
 
@@ -394,16 +430,20 @@ _SEMANTICS = pltpu.CompilerParams(
 
 
 def _fwd_pallas(qp, kp, vp, qm, km, scale, block_q, block_kv, interpret,
-                with_lse):
+                with_lse, static_max):
     h, sq_p, d = qp.shape
     kvh, skv_p, _ = kp.shape
     n_q = sq_p // block_q
     n_kv = skv_p // block_kv
     g = h // kvh
     codes = _block_codes(qm, km, block_q, block_kv)
+    # per-kv-head max key norm for the static softmax shift (tiny XLA pass)
+    kf = kp.astype(jnp.float32)
+    kmax = jnp.sqrt(jnp.max(jnp.sum(kf * kf, axis=2), axis=1))  # (KVH,)
     if with_lse:
         kernel = functools.partial(
-            _flash_kernel_lse, scale=scale, n_kv_blocks=n_kv
+            _flash_kernel_lse, scale=scale, n_kv_blocks=n_kv,
+            static_max=static_max,
         )
         out_shape = [
             jax.ShapeDtypeStruct((h, sq_p, d), vp.dtype),
@@ -412,12 +452,13 @@ def _fwd_pallas(qp, kp, vp, qm, km, scale, block_q, block_kv, interpret,
         out_specs = [_q_spec(block_q, d, g), _row_spec(block_q, g)]
     else:
         kernel = functools.partial(
-            _flash_kernel, scale=scale, n_kv_blocks=n_kv
+            _flash_kernel, scale=scale, n_kv_blocks=n_kv,
+            static_max=static_max,
         )
         out_shape = jax.ShapeDtypeStruct((h, sq_p, d), vp.dtype)
         out_specs = _q_spec(block_q, d, g)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(kvh, n_q, n_kv),
         in_specs=[
             _q_spec(block_q, d, g),
@@ -438,25 +479,29 @@ def _fwd_pallas(qp, kp, vp, qm, km, scale, block_q, block_kv, interpret,
         grid_spec=grid_spec,
         compiler_params=_SEMANTICS,
         interpret=interpret,
-    )(codes, qp, kp, vp, qm, km)
+    )(codes, kmax, qp, kp, vp, qm, km)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
-def _flash(qp, kp, vp, qm, km, scale, block_q, block_kv, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _flash(qp, kp, vp, qm, km, scale, block_q, block_kv, interpret,
+           static_max):
     """Padded head-major flash attention: (H,Sq,D),(KVH,Skv,D) -> (H,Sq,D)."""
     return _fwd_pallas(
-        qp, kp, vp, qm, km, scale, block_q, block_kv, interpret, False
+        qp, kp, vp, qm, km, scale, block_q, block_kv, interpret, False,
+        static_max,
     )
 
 
-def _flash_fwd(qp, kp, vp, qm, km, scale, block_q, block_kv, interpret):
+def _flash_fwd(qp, kp, vp, qm, km, scale, block_q, block_kv, interpret,
+               static_max):
     out, lse = _fwd_pallas(
-        qp, kp, vp, qm, km, scale, block_q, block_kv, interpret, True
+        qp, kp, vp, qm, km, scale, block_q, block_kv, interpret, True,
+        static_max,
     )
     return out, (qp, kp, vp, qm, km, out, lse)
 
 
-def _flash_bwd(scale, block_q, block_kv, interpret, res, do):
+def _flash_bwd(scale, block_q, block_kv, interpret, static_max, res, do):
     qp, kp, vp, qm, km, out, lse = res
     h, sq_p, d = qp.shape
     kvh, skv_p, _ = kp.shape
@@ -579,10 +624,19 @@ def flash_segment_attention(
     block_q: int = 512,
     block_kv: int = 1024,
     interpret: bool = False,
+    static_max: Optional[bool] = None,
 ) -> jax.Array:
     """Defaults (512, 1024) from v5e sweeps at the 32-view prefill shape
     (25088 tokens): 33.6 ms vs 147 ms blockwise-XLA (4.4x) with GQA packing
-    + block visibility codes."""
+    + block visibility codes.
+
+    static_max (default on, G2VLM_STATIC_MAX=0 opts out): shift the softmax
+    by the provable per-row logit bound scale*||q_row||*max||k|| instead of
+    the online running max — drops the per-tile max reduce, the l/acc alpha
+    rescales, and the max->exp serialization. Exact (softmax is shift-
+    invariant); the bound is capped at 40 so exp stays in fp32 range for a
+    2*bound logit span (~1e34 headroom). For qk-normed models the bound is
+    ~sqrt(head_dim)*|gamma_q||gamma_k| ~= 11 — far inside range."""
     s_q, h, d = q.shape
     s_kv, kvh, _ = k.shape
     if scale is None:
@@ -609,7 +663,13 @@ def flash_segment_attention(
     qm = pad_to(qm, sq_p, 0, value=-2)
     km = pad_to(km, skv_p, 1, value=-1)
 
-    out = _flash(qp, kp, vp, qm, km, scale, block_q, block_kv, interpret)
+    if static_max is None:
+        import os
+
+        static_max = os.environ.get("G2VLM_STATIC_MAX", "1") == "1"
+    out = _flash(
+        qp, kp, vp, qm, km, scale, block_q, block_kv, interpret, static_max
+    )
     return jnp.swapaxes(out, 0, 1)[:s_q]
 
 

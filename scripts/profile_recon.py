@@ -136,12 +136,74 @@ def main():
         )
         timeit("  linear_pts3d", f, params, ph, sync=sync)
 
+        ch = jax.jit(
+            lambda pr, dh: pi3_heads.decoder_forward(
+                pr["camera_decoder"], dh, pos, cfg.pi3, compute_dtype=dt
+            )
+        )
+        chid = timeit("  camera decoder (5 blk)", ch, params, dino_hidden,
+                      sync=sync)
+
         f = jax.jit(
             lambda pr, x: pi3_heads.camera_head(
                 pr["camera_head"], x.astype(jnp.float32), hp, wp
             )
         )
-        timeit("  camera head", f, params, ph, sync=sync)
+        timeit("  camera head", f, params, chid, sync=sync)
+
+    if "pi3_micro" in stages:
+        # one pi3 block decomposed: matmuls / rope / attention / layernorm
+        from g2vlm_tpu.ops.flash_attention import flash_batched_attention
+        from g2vlm_tpu.ops.norms import layer_norm
+        from g2vlm_tpu.ops.rope import apply_rope2d_bshd, rope2d_cos_sin
+
+        d = dino_hidden.shape[-1]
+        nhh = cfg.pi3.num_heads
+        hdd = d // nhh
+        pos = pi3_heads.patch_positions(n, hp, wp)
+        cos, sin = rope2d_cos_sin(pos, hdd, cfg.pi3.rope_freq)
+        bp = jax.tree.map(lambda x: x[0], params["point_decoder"]["blocks"])
+        x = dino_hidden.astype(dt)
+
+        def matmuls5(lp, x):
+            # chained so XLA can't CSE the 5 repetitions
+            acc = x.reshape(-1, d)
+            for _ in range(5):
+                qkv = acc @ lp["attn"]["qkv"]["w"].astype(dt)
+                o = qkv[:, :d] @ lp["attn"]["proj"]["w"].astype(dt)
+                h1 = o @ lp["mlp"]["fc1"]["w"].astype(dt)
+                acc = h1 @ lp["mlp"]["fc2"]["w"].astype(dt)
+            return acc
+
+        timeit("    block matmuls x5", jax.jit(matmuls5), bp, x, sync=sync)
+
+        q = jax.random.normal(key, (n, hw_tok, nhh, hdd), dt)
+
+        def rope10(q):
+            out = q
+            for _ in range(10):
+                out = apply_rope2d_bshd(out, cos, sin)
+            return out
+
+        timeit("    rope2d x10", jax.jit(rope10), q, sync=sync)
+
+        def attn5(q):
+            out = q
+            for _ in range(5):
+                out = flash_batched_attention(out, out, out)
+            return out
+
+        timeit("    batched attention x5", jax.jit(attn5), q, sync=sync)
+
+        w = jnp.ones((d,), jnp.float32)
+
+        def ln15(x):
+            out = x
+            for _ in range(15):
+                out = layer_norm(out, w, w, 1e-6)
+            return out
+
+        timeit("    layer_norm x15", jax.jit(ln15), x, sync=sync)
 
 
 if __name__ == "__main__":
