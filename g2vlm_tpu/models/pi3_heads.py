@@ -28,7 +28,7 @@ import numpy as np
 from ..config import Pi3HeadConfig
 from ..ops.attention import dense_attention
 from ..ops.norms import layer_norm
-from ..ops.rope import apply_rope2d_bshd, rope2d_cos_sin
+from ..ops.rope import rope2d_cos_sin
 
 
 def _lin(x, p, dtype):
@@ -45,6 +45,36 @@ def patch_positions(n: int, hp: int, wp: int) -> jax.Array:
     xs = np.arange(wp, dtype=np.int32)
     grid = np.stack(np.meshgrid(ys, xs, indexing="ij"), axis=-1).reshape(-1, 2)
     return jnp.broadcast_to(jnp.asarray(grid), (n, hp * wp, 2))
+
+
+def _rope_fold_idx(num_heads: int, hd: int):
+    """Column permutation + signs that fold RoPE2D's axial rotate-half into
+    the projection weights: (x @ w)[..., perm]*sign == rotate_half_axial
+    per head. The 24-element lane slices/concats of the direct rotation are
+    a relayout storm on TPU (measured 4.3 ms per application at 32 views);
+    as folded weight columns the rotation costs one wider GEMM instead."""
+    half = hd // 2
+    q = half // 2
+    idx_h = np.empty(hd, np.int64)
+    sgn_h = np.empty(hd, np.float32)
+    for off in (0, half):  # y-half, x-half
+        idx_h[off : off + q] = off + q + np.arange(q)  # out[:q] = -in[q:2q]
+        sgn_h[off : off + q] = -1.0
+        idx_h[off + q : off + half] = off + np.arange(q)  # out[q:] = in[:q]
+        sgn_h[off + q : off + half] = 1.0
+    idx = np.concatenate([idx_h + h * hd for h in range(num_heads)])
+    sgn = np.tile(sgn_h, num_heads)
+    return idx, sgn
+
+
+def _rot_cols(p, idx, sgn, col_off: int):
+    """Signed column-permuted copy of projection columns [col_off, +len(idx))
+    — multiplying x by these columns yields rotate_half_axial(x @ w)."""
+    w = p["w"][:, col_off + idx] * sgn[None, :]
+    out = {"w": w}
+    if "b" in p:
+        out["b"] = p["b"][col_off + idx] * sgn
+    return out
 
 
 def _use_flash(b, s, m=None):
@@ -65,35 +95,69 @@ def _attend(q, k, v):
     return dense_attention(q, k, v)
 
 
+def _rope_mix(t, t_rot, cos, sin, dtype):
+    """out = t*cos + rotate_half(t)*sin, with the rotated copy coming from
+    the folded projection columns (no lane shuffles)."""
+    c = cos[:, :, None, :]
+    s = sin[:, :, None, :]
+    out = t.astype(jnp.float32) * c + t_rot.astype(jnp.float32) * s
+    return out.astype(dtype)
+
+
 def _self_attn(x, lp, cos, sin, num_heads, dtype):
     """Fused-QKV self attention with RoPE2D (reference FlashAttentionRope,
     attention.py:357-381; qk_norm is disabled in the Pi3 heads). Everything
-    stays in (B, S, H, D) layout: the fused qkv output is sliced on the
-    contiguous last dim and RoPE rotates in place — no head-major transposes
-    (pure relayout HBM traffic, ~40 ms per 5-block decoder at 32 views)."""
+    stays in (B, S, H, D) layout, and the RoPE rotate-half is folded into
+    two extra column blocks of the qkv projection (see _rope_fold_idx) —
+    one (d, 5d) GEMM instead of lane-shuffle relayouts."""
     b, s, d = x.shape
     hd = d // num_heads
-    qkv = _lin(x, lp["qkv"], dtype)  # (b, s, 3d), columns [q | k | v]
+    idx, sgn = _rope_fold_idx(num_heads, hd)
+    wq_rot = _rot_cols(lp["qkv"], idx, sgn, 0)
+    wk_rot = _rot_cols(lp["qkv"], idx, sgn, d)
+    ext = {
+        "w": jnp.concatenate(
+            [lp["qkv"]["w"], wq_rot["w"], wk_rot["w"]], axis=1
+        ),
+        "b": jnp.concatenate([lp["qkv"]["b"], wq_rot["b"], wk_rot["b"]]),
+    }
+    qkv = _lin(x, ext, dtype)  # (b, s, 5d): [q | k | v | rot(q) | rot(k)]
     q = qkv[..., :d].reshape(b, s, num_heads, hd)
     k = qkv[..., d : 2 * d].reshape(b, s, num_heads, hd)
-    v = qkv[..., 2 * d :].reshape(b, s, num_heads, hd)
-    q = apply_rope2d_bshd(q, cos, sin)
-    k = apply_rope2d_bshd(k, cos, sin)
+    v = qkv[..., 2 * d : 3 * d].reshape(b, s, num_heads, hd)
+    q_rot = qkv[..., 3 * d : 4 * d].reshape(b, s, num_heads, hd)
+    k_rot = qkv[..., 4 * d :].reshape(b, s, num_heads, hd)
+    q = _rope_mix(q, q_rot, cos, sin, dtype)
+    k = _rope_mix(k, k_rot, cos, sin, dtype)
     out = _attend(q, k, v).reshape(b, s, d)
     return _lin(out, lp["proj"], dtype)
 
 
 def _cross_attn(x, y, lp, cos_q, sin_q, cos_k, sin_k, num_heads, dtype):
     """Separate-projection cross attention with RoPE2D (reference
-    FlashCrossAttentionRope, attention.py:238-270)."""
+    FlashCrossAttentionRope, attention.py:238-270). Rotations folded into
+    extra projection columns like _self_attn."""
     b, s, d = x.shape
     m = y.shape[1]
     hd = d // num_heads
-    q = _lin(x, lp["q"], dtype).reshape(b, s, num_heads, hd)
-    k = _lin(y, lp["k"], dtype).reshape(b, m, num_heads, hd)
+    idx, sgn = _rope_fold_idx(num_heads, hd)
+
+    def ext(p):
+        rot = _rot_cols(p, idx, sgn, 0)
+        e = {"w": jnp.concatenate([p["w"], rot["w"]], axis=1)}
+        if "b" in p:
+            e["b"] = jnp.concatenate([p["b"], rot["b"]])
+        return e
+
+    qq = _lin(x, ext(lp["q"]), dtype)
+    kk = _lin(y, ext(lp["k"]), dtype)
+    q = qq[..., :d].reshape(b, s, num_heads, hd)
+    q_rot = qq[..., d:].reshape(b, s, num_heads, hd)
+    k = kk[..., :d].reshape(b, m, num_heads, hd)
+    k_rot = kk[..., d:].reshape(b, m, num_heads, hd)
     v = _lin(y, lp["v"], dtype).reshape(b, m, num_heads, hd)
-    q = apply_rope2d_bshd(q, cos_q, sin_q)
-    k = apply_rope2d_bshd(k, cos_k, sin_k)
+    q = _rope_mix(q, q_rot, cos_q, sin_q, dtype)
+    k = _rope_mix(k, k_rot, cos_k, sin_k, dtype)
     out = _attend(q, k, v).reshape(b, s, d)
     return _lin(out, lp["proj"], dtype)
 

@@ -31,6 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .masks import TokenInfo
 
 NEG_INF = -1e30
+_LOG2E = 1.4426950408889634  # log2(e): exp(x) == exp2(x * _LOG2E)
 
 # per-(q-block, kv-block) visibility classification, computed host/XLA-side
 # from block min/max of the token metadata and prefetched into SMEM. The
@@ -121,7 +122,9 @@ def _online_softmax_update(s, mask, v, m_scr, l_scr, acc_scr,
     rescales of l/acc, and the max-reduce -> exp serialization all drop out;
     softmax is shift-invariant so the result is identical."""
     if static_max:
-        p = jnp.exp(s - m_scr[:, :1])
+        # s is pre-scaled by scale*log2(e) (folded into q outside the
+        # kernel), so exp2 with no per-element multiplies at all
+        p = jnp.exp2(s - m_scr[:, :1])
         if mask is not None:
             p = jnp.where(mask, p, 0.0)
         l_scr[:, :1] += jnp.sum(p, axis=1, keepdims=True)
@@ -182,12 +185,13 @@ def _flash_kernel(
     def _():
         if static_max:
             # softmax shift = a provable per-row logit upper bound:
-            # scale*||q_row||*max||k|| (softmax is shift-invariant, so this
-            # is exact). Capped at 40 so even a 2*bound logit span stays in
-            # fp32 exp range; see flash_segment_attention docstring.
+            # ||q_row'||*max||k|| where q' is pre-scaled by scale*log2(e)
+            # (softmax is shift-invariant, so this is exact). Capped at
+            # 40*log2(e) so even a 2*bound logit span stays in fp32 exp
+            # range; see flash_segment_attention docstring.
             qf = q_ref[...].reshape(g * bq, d).astype(jnp.float32)
             qn = jnp.sqrt(jnp.sum(qf * qf, axis=1, keepdims=True))
-            bound = jnp.minimum(qn * (kmax_ref[hh] * scale), 40.0)
+            bound = jnp.minimum(qn * kmax_ref[hh], 40.0 * _LOG2E)
             m_scr[:] = jnp.broadcast_to(bound, m_scr.shape)
         else:
             m_scr[:] = jnp.full_like(m_scr, NEG_INF)
@@ -195,12 +199,14 @@ def _flash_kernel(
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     def scores():
-        return jax.lax.dot_general(
+        s = jax.lax.dot_general(
             q_ref[...].reshape(g * bq, d),
             k_ref[0],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale  # (G*BQ, BK)
+        )  # (G*BQ, BK)
+        # static_max: q pre-scaled outside the kernel -> no per-element scale
+        return s if static_max else s * scale
 
     @pl.when(code == BLOCK_FULL)
     def _():
@@ -243,6 +249,8 @@ def _flash_kernel_lse(
     def _():
         g, bq = lse_ref.shape[0], lse_ref.shape[1]
         m = m_scr[:, :1]
+        if static_max:
+            m = m * (1.0 / _LOG2E)  # bound was in log2 units (scaled q)
         l = l_scr[:, :1]
         # fully-masked rows: lse = NEG_INF so backward p = exp(-inf) = 0
         lse = jnp.where(
@@ -440,6 +448,12 @@ def _fwd_pallas(qp, kp, vp, qm, km, scale, block_q, block_kv, interpret,
     # per-kv-head max key norm for the static softmax shift (tiny XLA pass)
     kf = kp.astype(jnp.float32)
     kmax = jnp.sqrt(jnp.max(jnp.sum(kf * kf, axis=2), axis=1))  # (KVH,)
+    if static_max:
+        # fold scale*log2(e) into q (fused into the pad pass by XLA): the
+        # kernel then computes exp2 scores with zero per-element multiplies.
+        # Residuals for the backward keep the ORIGINAL q (custom_vjp saves
+        # the wrapper args, not this scaled copy).
+        qp = (qp.astype(jnp.float32) * (scale * _LOG2E)).astype(qp.dtype)
     if with_lse:
         kernel = functools.partial(
             _flash_kernel_lse, scale=scale, n_kv_blocks=n_kv,
@@ -875,11 +889,12 @@ _BATCHED_SEMANTICS = pltpu.CompilerParams(
 
 
 def _batched_fwd(qp, kp, vp, scale, block_q, block_kv, s_real, interpret,
-                 with_lse):
+                 with_lse, hb=None):
     b, h, s_pad, d = qp.shape
     n_q = s_pad // block_q
     n_kv = kp.shape[2] // block_kv
-    hb = next(x for x in (4, 2, 1) if h % x == 0)  # heads per grid step
+    if hb is None:
+        hb = next(x for x in (4, 2, 1) if h % x == 0)  # heads per grid step
 
     def hspec(bq, last):
         return pl.BlockSpec(

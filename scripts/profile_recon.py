@@ -205,6 +205,93 @@ def main():
 
         timeit("    layer_norm x15", jax.jit(ln15), x, sync=sync)
 
+    if "mot_micro" in stages:
+        # MoT layer pieces at the 32-view prefill shape (S~25088 packed)
+        from g2vlm_tpu.models.g2vlm import SequenceBuilder
+        from g2vlm_tpu.ops.attention import segment_attention
+        from g2vlm_tpu.ops.norms import rms_norm
+        from g2vlm_tpu.ops.rope import apply_mrope, mrope_cos_sin
+
+        lcfg = cfg.llm
+        s_tok = len(prefill.doc_id)
+        nh_l, kvh, hd_l = (
+            lcfg.num_attention_heads, lcfg.num_key_value_heads, lcfg.head_dim,
+        )
+        q = jax.random.normal(key, (s_tok, nh_l, hd_l), dt)
+        kk = jax.random.normal(key, (s_tok, kvh, hd_l), dt)
+        cos, sin = mrope_cos_sin(
+            jnp.asarray(prefill.position_ids), hd_l, lcfg.rope_theta,
+            lcfg.mrope_section,
+        )
+        info = prefill.token_info()
+
+        def mrope5(q, kk):
+            for _ in range(5):
+                q, kk = apply_mrope(q, kk, cos, sin)
+            return q, kk
+
+        timeit("    mrope x5", jax.jit(mrope5), q, kk, sync=sync)
+
+        w = jnp.ones((hd_l,), jnp.float32)
+
+        def qknorm5(q):
+            out = q
+            for _ in range(5):
+                out = rms_norm(out.astype(jnp.float32), w).astype(dt)
+            return out
+
+        timeit("    qk rms_norm x5 (fp32)", jax.jit(qknorm5), q, sync=sync)
+
+        def attn2(q, kk):
+            o1 = segment_attention(q, kk, kk, info, info)
+            o2 = segment_attention(o1, kk, kk, info, info)
+            return o2
+
+        timeit("    segment attention x2", jax.jit(attn2), q, kk, sync=sync)
+
+    if "attn_sweep" in stages:
+        # batched-kernel variants at the pi3-head shape (B=32, S=777, H=16,
+        # D=96): heads-per-step sweep + dense reference
+        from g2vlm_tpu.ops import flash_attention as fa
+        from g2vlm_tpu.ops.attention import dense_attention
+
+        d = dino_hidden.shape[-1]
+        nhh = cfg.pi3.num_heads
+        hdd = d // nhh
+        q = jax.random.normal(key, (n, hw_tok, nhh, hdd), dt)
+
+        def prep(x, block):
+            pad = -(-hw_tok // block) * block - hw_tok
+            x = jnp.swapaxes(x, 1, 2)
+            if pad:
+                x = jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            return x
+
+        for hb in (2, 4, 8, 16):
+            block = -(-hw_tok // 8) * 8
+
+            def run(q, hb=hb, block=block):
+                qp = prep(q, block)
+                out = q
+                for _ in range(5):
+                    o = fa._batched_fwd(
+                        qp, qp, qp, hdd ** -0.5, block, block, hw_tok,
+                        False, False, hb=hb,
+                    )
+                    qp = o
+                return qp
+
+            timeit(f"    batched fwd hb={hb:2d} x5", jax.jit(run), q,
+                   sync=sync)
+
+        def dense5(q):
+            out = q
+            for _ in range(5):
+                out = dense_attention(out, out, out)
+            return out
+
+        timeit("    dense attention x5", jax.jit(dense5), q, sync=sync)
+
 
 if __name__ == "__main__":
     main()
