@@ -210,6 +210,9 @@ def _flash_kernel(
 
     @pl.when(code == BLOCK_FULL)
     def _():
+        # (sub-chunking the kv block into independent dot->exp2->dot chains
+        # was tried for MXU/VPU overlap and REGRESSED 14.3 -> 12.1 fps —
+        # Mosaic schedules the whole-tile form better; keep it)
         _online_softmax_update(
             scores(), None, v_ref[0], m_scr, l_scr, acc_scr,
             static_max=static_max,
@@ -885,6 +888,8 @@ def _batched_specs(block_q, block_kv, d):
 
 _BATCHED_SEMANTICS = pltpu.CompilerParams(
     dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+    # hb>4 head packing exceeds the 16MB default scoped-vmem stack
+    vmem_limit_bytes=100 * 1024 * 1024,
 )
 
 

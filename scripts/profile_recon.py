@@ -267,7 +267,7 @@ def main():
                 x = jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
             return x
 
-        for hb in (2, 4, 8, 16):
+        for hb in (1, 2, 4):
             block = -(-hw_tok // 8) * 8
 
             def run(q, hb=hb, block=block):
