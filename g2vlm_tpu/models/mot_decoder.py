@@ -36,7 +36,7 @@ from ..config import LLMConfig
 from ..ops.attention import segment_attention
 from ..ops.masks import TokenInfo
 from ..ops.norms import rms_norm
-from ..ops.rope import apply_mrope, mrope_cos_sin
+from ..ops.rope import mrope_cos_sin
 
 # expert_mode values
 UND_ONLY = "und"      # all tokens use the base ("und") expert
@@ -85,6 +85,57 @@ def _select(is_geo, geo, und):
     return jnp.where(is_geo[:, None], geo, und)
 
 
+def _mrope_fold(nh: int, hd: int):
+    """Signed column permutation folding rotate_half into projection
+    columns: (x @ w)[:, col]*sgn == rotate_half per head. The direct
+    rotate (lane slices + concat) plus the fp32 qk-norm cost ~12.8 ms per
+    MoT layer at the 32-view prefill as separate XLA passes; folded, the
+    rotation rides the projection GEMM and norm+rope fuse into one chain."""
+    half = hd // 2
+    idx_h = np.concatenate([np.arange(half, hd), np.arange(half)])
+    sgn_h = np.concatenate(
+        [-np.ones(half, np.float32), np.ones(half, np.float32)]
+    )
+    col = np.concatenate([h * hd + idx_h for h in range(nh)])
+    sgn = np.tile(sgn_h, nh)
+    return col, sgn, idx_h
+
+
+def _ext_rot_cols(p, nh: int, hd: int):
+    """Projection widened with the rotated copy: x @ ext -> [y | rot(y)]."""
+    col, sgn, _ = _mrope_fold(nh, hd)
+    ext = {"w": jnp.concatenate([p["w"], p["w"][:, col] * sgn[None, :]], 1)}
+    if "b" in p:
+        ext["b"] = jnp.concatenate([p["b"], p["b"][col] * sgn])
+    return ext
+
+
+def _norm_rope(q, q_rot, gamma, cos, sin, eps, nh, hd, dt):
+    """Fused (optional per-head fp32 RMS qk-norm) + mRoPE over raw
+    projection outputs q and rot(q) (from the folded columns).
+
+    rotate_half commutes with RMS normalization up to a gamma permutation
+    (permutation preserves the row rms; the sign rides the weights), so
+    rope(norm(q)) == norm(q)*cos + norm_permγ(q_rot)*sin with ONE shared
+    rsqrt — a single fused elementwise chain instead of rotate concats.
+    gamma: (hd,) fp32, or a per-row-selected (S, 1, hd); None = no norm.
+    q, q_rot: (S, nh*hd). Returns (S, nh, hd) in dt."""
+    s = q.shape[0]
+    qf = q.reshape(s, nh, hd).astype(jnp.float32)
+    qrf = q_rot.reshape(s, nh, hd).astype(jnp.float32)
+    c = cos[:, None, :]
+    sn = sin[:, None, :]
+    if gamma is None:
+        out = qf * c + qrf * sn
+    else:
+        _, _, idx_h = _mrope_fold(nh, hd)
+        r = jax.lax.rsqrt(jnp.mean(qf * qf, axis=-1, keepdims=True) + eps)
+        g = gamma if gamma.ndim > 1 else gamma[None, None, :]
+        gp = g[..., idx_h]
+        out = (qf * g * r) * c + (qrf * gp * r) * sn
+    return out.astype(dt)
+
+
 def _expert_lin(x_und, x_geo, p_und, p_geo, is_geo, mode, dtype):
     if mode == UND_ONLY:
         return _lin(x_und, p_und, dtype)
@@ -110,40 +161,39 @@ def _geo_main_layer(
     long as row 0 is an und token (duplicate scatters write equal values)."""
     nh, kvh, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     s = x.shape[0]
-    k_rows = und_idx.shape[0]
     eps = cfg.rms_norm_eps
 
     residual = x
+    nq, nk = nh * hd, kvh * hd
     h_geo = rms_norm(x, lp["ln_attn_geo"], eps)
-    q = _lin(h_geo, lp["q_geo"], dt)
-    k = _lin(h_geo, lp["k_geo"], dt)
+    qx = _lin(h_geo, _ext_rot_cols(lp["q_geo"], nh, hd), dt)
+    kx = _lin(h_geo, _ext_rot_cols(lp["k_geo"], kvh, hd), dt)
     v = _lin(h_geo, lp["v_geo"], dt)
     x_u = x[und_idx]
     h_u = rms_norm(x_u, lp["ln_attn"], eps)
-    qu = _lin(h_u, lp["q"], dt)
-    ku = _lin(h_u, lp["k"], dt)
+    qux = _lin(h_u, _ext_rot_cols(lp["q"], nh, hd), dt)
+    kux = _lin(h_u, _ext_rot_cols(lp["k"], kvh, hd), dt)
     vu = _lin(h_u, lp["v"], dt)
 
-    q = q.at[und_idx].set(qu).reshape(s, nh, hd)
-    k = k.at[und_idx].set(ku).reshape(s, kvh, hd)
-    v = v.at[und_idx].set(vu).reshape(s, kvh, hd)
+    qx = qx.at[und_idx].set(qux)
+    kx = kx.at[und_idx].set(kux)
+    v = v.at[und_idx].set(vu).reshape(s, kvh, hd).astype(dt)
 
+    gq = lp["q_norm_geo"] if cfg.qk_norm else None
+    gk = lp["k_norm_geo"] if cfg.qk_norm else None
+    q = _norm_rope(qx[:, :nq], qx[:, nq:], gq, cos, sin, eps, nh, hd, dt)
+    k = _norm_rope(kx[:, :nk], kx[:, nk:], gk, cos, sin, eps, kvh, hd, dt)
     if cfg.qk_norm:
-        q = rms_norm(q.astype(jnp.float32), lp["q_norm_geo"], eps)
-        k = rms_norm(k.astype(jnp.float32), lp["k_norm_geo"], eps)
-        qun = rms_norm(
-            qu.reshape(k_rows, nh, hd).astype(jnp.float32), lp["q_norm"], eps
+        # re-do the few und rows with the und-expert gammas
+        cu, su = cos[und_idx], sin[und_idx]
+        q = q.at[und_idx].set(
+            _norm_rope(qux[:, :nq], qux[:, nq:], lp["q_norm"], cu, su, eps,
+                       nh, hd, dt)
         )
-        kun = rms_norm(
-            ku.reshape(k_rows, kvh, hd).astype(jnp.float32), lp["k_norm"], eps
+        k = k.at[und_idx].set(
+            _norm_rope(kux[:, :nk], kux[:, nk:], lp["k_norm"], cu, su, eps,
+                       kvh, hd, dt)
         )
-        q = q.at[und_idx].set(qun)
-        k = k.at[und_idx].set(kun)
-
-    q, k = apply_mrope(q, k, cos, sin)
-    q = q.astype(dt)
-    k = k.astype(dt)
-    v = v.astype(dt)
     new_kv = LayerKV(k, v)
 
     if past_kv is not None:
@@ -187,29 +237,39 @@ def _split_layer(
         return jnp.concatenate([f_u, f_g], axis=0)
 
     residual = x
+    nq, nk = nh * hd, kvh * hd
     x_u, x_g = x[:b], x[b:]
     h_u = rms_norm(x_u, lp["ln_attn"], eps)
     h_g = rms_norm(x_g, lp["ln_attn_geo"], eps)
-    q = both(_lin(h_u, lp["q"], dt), _lin(h_g, lp["q_geo"], dt)).reshape(s, nh, hd)
-    k = both(_lin(h_u, lp["k"], dt), _lin(h_g, lp["k_geo"], dt)).reshape(s, kvh, hd)
-    v = both(_lin(h_u, lp["v"], dt), _lin(h_g, lp["v_geo"], dt)).reshape(s, kvh, hd)
+    qx = both(
+        _lin(h_u, _ext_rot_cols(lp["q"], nh, hd), dt),
+        _lin(h_g, _ext_rot_cols(lp["q_geo"], nh, hd), dt),
+    )
+    kx = both(
+        _lin(h_u, _ext_rot_cols(lp["k"], kvh, hd), dt),
+        _lin(h_g, _ext_rot_cols(lp["k_geo"], kvh, hd), dt),
+    )
+    v = both(_lin(h_u, lp["v"], dt), _lin(h_g, lp["v_geo"], dt))
+    v = v.reshape(s, kvh, hd).astype(dt)
 
-    if cfg.qk_norm:
-        qf = q.astype(jnp.float32)
-        kf = k.astype(jnp.float32)
-        q = both(
-            rms_norm(qf[:b], lp["q_norm"], eps),
-            rms_norm(qf[b:], lp["q_norm_geo"], eps),
-        )
-        k = both(
-            rms_norm(kf[:b], lp["k_norm"], eps),
-            rms_norm(kf[b:], lp["k_norm_geo"], eps),
+    def nr(xq, g_u, g_g, nheads):
+        w = nheads * hd
+        if not cfg.qk_norm:
+            return _norm_rope(
+                xq[:, :w], xq[:, w:], None, cos, sin, eps, nheads, hd, dt
+            )
+        return jnp.concatenate(
+            [
+                _norm_rope(xq[:b, :w], xq[:b, w:], g_u, cos[:b], sin[:b],
+                           eps, nheads, hd, dt),
+                _norm_rope(xq[b:, :w], xq[b:, w:], g_g, cos[b:], sin[b:],
+                           eps, nheads, hd, dt),
+            ],
+            axis=0,
         )
 
-    q, k = apply_mrope(q, k, cos, sin)
-    q = q.astype(dt)
-    k = k.astype(dt)
-    v = v.astype(dt)
+    q = nr(qx, lp["q_norm"], lp["q_norm_geo"], nh)
+    k = nr(kx, lp["k_norm"], lp["k_norm_geo"], kvh)
     new_kv = LayerKV(k, v)
 
     if past_kv is not None:
@@ -286,50 +346,38 @@ def mot_layer_forward(
     if has_expert_attn and expert_mode != UND_ONLY:
         h_geo = rms_norm(x, lp["ln_attn_geo"], cfg.rms_norm_eps)
 
+    eps = cfg.rms_norm_eps
     if has_expert_attn:
-        q = _expert_lin(h_und, h_geo, lp["q"], lp["q_geo"], is_geo, expert_mode, dt)
-        k = _expert_lin(h_und, h_geo, lp["k"], lp["k_geo"], is_geo, expert_mode, dt)
+        qx = _expert_lin(
+            h_und, h_geo, _ext_rot_cols(lp["q"], nh, hd),
+            _ext_rot_cols(lp["q_geo"], nh, hd), is_geo, expert_mode, dt,
+        )
+        kx = _expert_lin(
+            h_und, h_geo, _ext_rot_cols(lp["k"], kvh, hd),
+            _ext_rot_cols(lp["k_geo"], kvh, hd), is_geo, expert_mode, dt,
+        )
         v = _expert_lin(h_und, h_geo, lp["v"], lp["v_geo"], is_geo, expert_mode, dt)
     else:
-        q = _lin(h_und, lp["q"], dt)
-        k = _lin(h_und, lp["k"], dt)
+        qx = _lin(h_und, _ext_rot_cols(lp["q"], nh, hd), dt)
+        kx = _lin(h_und, _ext_rot_cols(lp["k"], kvh, hd), dt)
         v = _lin(h_und, lp["v"], dt)
 
-    q = q.reshape(s, nh, hd)
-    k = k.reshape(s, kvh, hd)
-    v = v.reshape(s, kvh, hd)
-
-    # Per-head RMS qk-norm, fp32, per expert (reference qwen2vl.py:600-606).
-    if cfg.qk_norm:
-        qf = q.astype(jnp.float32)
-        kf = k.astype(jnp.float32)
-        if has_expert_attn:
-            if expert_mode == UND_ONLY:
-                q = rms_norm(qf, lp["q_norm"], cfg.rms_norm_eps)
-                k = rms_norm(kf, lp["k_norm"], cfg.rms_norm_eps)
-            elif expert_mode == GEO_ONLY:
-                q = rms_norm(qf, lp["q_norm_geo"], cfg.rms_norm_eps)
-                k = rms_norm(kf, lp["k_norm_geo"], cfg.rms_norm_eps)
-            else:
-                gm = is_geo[:, None, None]
-                q = jnp.where(
-                    gm,
-                    rms_norm(qf, lp["q_norm_geo"], cfg.rms_norm_eps),
-                    rms_norm(qf, lp["q_norm"], cfg.rms_norm_eps),
-                )
-                k = jnp.where(
-                    gm,
-                    rms_norm(kf, lp["k_norm_geo"], cfg.rms_norm_eps),
-                    rms_norm(kf, lp["k_norm"], cfg.rms_norm_eps),
-                )
-        else:
-            q = rms_norm(qf, lp["q_norm"], cfg.rms_norm_eps)
-            k = rms_norm(kf, lp["k_norm"], cfg.rms_norm_eps)
-
-    q, k = apply_mrope(q, k, cos, sin)
-    q = q.astype(dt)
-    k = k.astype(dt)
-    v = v.astype(dt)
+    # Per-head RMS qk-norm (fp32, per expert — reference qwen2vl.py:600-606)
+    # fused with mRoPE via the folded rotation columns (_norm_rope).
+    if not cfg.qk_norm:
+        gq = gk = None
+    elif not has_expert_attn or expert_mode == UND_ONLY:
+        gq, gk = lp["q_norm"], lp["k_norm"]
+    elif expert_mode == GEO_ONLY:
+        gq, gk = lp["q_norm_geo"], lp["k_norm_geo"]
+    else:
+        gm = is_geo[:, None, None]
+        gq = jnp.where(gm, lp["q_norm_geo"][None, None], lp["q_norm"][None, None])
+        gk = jnp.where(gm, lp["k_norm_geo"][None, None], lp["k_norm"][None, None])
+    nq, nk = nh * hd, kvh * hd
+    q = _norm_rope(qx[:, :nq], qx[:, nq:], gq, cos, sin, eps, nh, hd, dt)
+    k = _norm_rope(kx[:, :nk], kx[:, nk:], gk, cos, sin, eps, kvh, hd, dt)
+    v = v.reshape(s, kvh, hd).astype(dt)
     new_kv = LayerKV(k, v)
 
     if past_kv is not None:

@@ -205,6 +205,123 @@ def main():
 
         timeit("    layer_norm x15", jax.jit(ln15), x, sync=sync)
 
+    if "dino_micro" in stages:
+        # dino layer pieces: attention at (32,782,16,64), matmul chain at
+        # d=1024, gelu
+        from g2vlm_tpu.ops.flash_attention import flash_batched_attention
+
+        dd, nhd, hdd = 1024, 16, 64
+        sv = 782
+        q = jax.random.normal(key, (n, sv, nhd, hdd), dt)
+
+        def attn5(q):
+            out = q
+            for _ in range(5):
+                out = flash_batched_attention(out, out, out)
+            return out
+
+        timeit("    dino attention x5", jax.jit(attn5), q, sync=sync)
+
+        x = jax.random.normal(key, (n, sv, dd), dt)
+        wq = jax.random.normal(key, (dd, 3 * dd), dt) * 0.02
+        wo = jax.random.normal(key, (3 * dd, dd), dt) * 0.02
+
+        def mm5(x):
+            acc = x
+            for _ in range(5):
+                acc = (acc @ wq) @ wo
+            return acc
+
+        timeit("    dino matmuls x5 (qkv+o-ish)", jax.jit(mm5), x, sync=sync)
+
+        def gelu15(x):
+            out = x
+            for _ in range(15):
+                out = jax.nn.gelu(out, approximate=False)
+            return out
+
+        timeit("    gelu exact x15", jax.jit(gelu15), x, sync=sync)
+
+    if "ln_micro" in stages:
+        # layer_norm variants at (32,777,1536) bf16: current vs matmul-stats
+        from g2vlm_tpu.ops.norms import layer_norm
+
+        x = jax.random.normal(key, (n, hw_tok, 1536), dt)
+        w = jnp.ones((1536,), jnp.float32)
+
+        def chain(f, reps=15):
+            def run(x):
+                out = x
+                for _ in range(reps):
+                    out = f(out)
+                return out
+            return run
+
+        timeit("    ln current x15", jax.jit(chain(
+            lambda x: layer_norm(x, w, w, 1e-6))), x, sync=sync)
+
+        dmod = 1536
+        ones = jnp.full((dmod, 1), 1.0 / dmod, jnp.float32)
+
+        def ln_mm(x):
+            xf = x.astype(jnp.float32)
+            x2d = xf.reshape(-1, dmod)
+            m1 = x2d @ ones  # (N,1) mean via MXU
+            m2 = (x2d * x2d) @ ones
+            var = jnp.maximum(m2 - m1 * m1, 0.0)
+            y = (x2d - m1) * jax.lax.rsqrt(var + 1e-6)
+            return (y * w + w).reshape(x.shape).astype(x.dtype)
+
+        timeit("    ln matmul-stats x15", jax.jit(chain(ln_mm)), x, sync=sync)
+
+        def rms15(x):
+            out = x
+            for _ in range(15):
+                xf = out.astype(jnp.float32)
+                r = jax.lax.rsqrt(jnp.mean(xf * xf, -1, keepdims=True) + 1e-6)
+                out = (xf * r).astype(out.dtype)
+            return out
+
+        timeit("    rms-style x15", jax.jit(rms15), x, sync=sync)
+
+    if "exp_micro" in stages:
+        # raw exp2 throughput in VMEM (EUP): fp32 vs bf16, plus mult for
+        # reference. 100 chained applications on a (512,1024) tile.
+        import functools as ft
+
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        def expk(x_ref, o_ref, *, op, reps):
+            x = x_ref[...]
+            for _ in range(reps):
+                x = op(x)
+            o_ref[...] = x
+
+        for name, dtp, op in (
+            ("exp2 fp32", jnp.float32, lambda x: jnp.exp2(x * 0.5)),
+            ("exp2 bf16", jnp.bfloat16, lambda x: jnp.exp2(x * 0.5)),
+            ("mult fp32", jnp.float32, lambda x: x * 0.99),
+        ):
+            x = jax.random.normal(key, (512, 1024), dtp)
+            fn = pl.pallas_call(
+                ft.partial(expk, op=op, reps=100),
+                out_shape=jax.ShapeDtypeStruct((512, 1024), dtp),
+                grid=(64,),
+                in_specs=[pl.BlockSpec((512, 1024), lambda i: (0, 0))],
+                out_specs=pl.BlockSpec((512, 1024), lambda i: (0, 0)),
+            )
+            j = jax.jit(fn)
+            sync(j(x))
+            import time as _t
+
+            t0 = _t.perf_counter()
+            sync(j(x))
+            dt_s = _t.perf_counter() - t0
+            n_ops = 512 * 1024 * 100 * 64
+            print(f"    {name}: {n_ops/dt_s/1e12:.2f} T elem-ops/s",
+                  flush=True)
+
     if "mot_micro" in stages:
         # MoT layer pieces at the 32-view prefill shape (S~25088 packed)
         from g2vlm_tpu.models.g2vlm import SequenceBuilder
