@@ -219,10 +219,11 @@ def linear_pts3d(params: Dict, tokens: jax.Array, img_hw, patch_size: int) -> ja
     feat = _lin(tokens, params["proj"], jnp.float32)  # (B, S, C*p*p)
     c = feat.shape[-1] // (p * p)
     # torch: view(B, C*p*p, hp, wp) then pixel_shuffle(p):
-    # out[b, ch, y*p+i, x*p+j] = feat[b, ch*p*p + i*p + j, y, x]
+    # out[b, ch, y*p+i, x*p+j] = feat[b, ch*p*p + i*p + j, y, x].
+    # One fused 6D transpose straight to channel-last (B, H, W, C) — the
+    # two-step CHW detour doubled the relayout traffic.
     feat = feat.reshape(b, hp, wp, c, p, p)
-    feat = feat.transpose(0, 3, 1, 4, 2, 5).reshape(b, c, h, w)
-    return feat.transpose(0, 2, 3, 1)  # (B, H, W, C)
+    return feat.transpose(0, 1, 4, 2, 5, 3).reshape(b, h, w, c)
 
 
 def svd_orthogonalize(m: jax.Array) -> jax.Array:

@@ -726,15 +726,10 @@ def _batched_flash_kernel(
             # sizes the grid is per-step-overhead-bound, so heads amortize it
     k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
     *, scale: float, n_kv_blocks: int, s_real: int, block_kv: int,
+    static_max: bool,
 ):
     j = pl.program_id(3)
     _, hb, bq, d = q_ref.shape
-
-    @pl.when(j == 0)
-    def _():
-        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
-        l_scr[:] = jnp.zeros_like(l_scr)
-        acc_scr[:] = jnp.zeros_like(acc_scr)
 
     if s_real % block_kv:
         # only the final kv block contains padding keys
@@ -744,6 +739,47 @@ def _batched_flash_kernel(
         key_ok = col < s_real
     else:
         key_ok = None
+
+    if static_max:
+        # whole view in one kv block (n_kv_blocks == 1, enforced by the
+        # wrapper): shift by the provable bound ||q'||*max||k|| (q' carries
+        # scale*log2e), exp2, no running max / alpha rescale
+        for hh in range(hb):
+            q = q_ref[0, hh]
+            k = k_ref[0, hh]
+            kf = k.astype(jnp.float32)
+            kn2 = jnp.sum(kf * kf, axis=1, keepdims=True)  # (BK, 1)
+            if key_ok is not None:
+                row = j * block_kv + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_kv, 1), 0
+                )
+                kn2 = jnp.where(row < s_real, kn2, 0.0)
+            kmax = jnp.sqrt(jnp.max(kn2))
+            qf = q.astype(jnp.float32)
+            qn = jnp.sqrt(jnp.sum(qf * qf, axis=1, keepdims=True))
+            m = jnp.minimum(qn * kmax, 40.0 * _LOG2E)  # (BQ, 1)
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if key_ok is not None:
+                s = jnp.where(key_ok, s, NEG_INF)
+            p = jnp.exp2(s - m)
+            l = jnp.sum(p, axis=1, keepdims=True)
+            acc = jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[0, hh],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[0, hh] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        return
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
     for hh in range(hb):  # static unroll
         s = jax.lax.dot_general(
             q_ref[0, hh],
@@ -771,7 +807,7 @@ def _batched_flash_kernel_lse(
     _batched_flash_kernel(
         q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
         scale=scale, n_kv_blocks=n_kv_blocks, s_real=s_real,
-        block_kv=block_kv,
+        block_kv=block_kv, static_max=False,
     )
     j = pl.program_id(3)
     _, hb, bq, _ = q_ref.shape
@@ -922,7 +958,14 @@ def _batched_fwd(qp, kp, vp, scale, block_q, block_kv, s_real, interpret,
         ]
         out_specs = [hspec(block_q, d), hspec(block_q, 128)]
     else:
-        kernel = functools.partial(_batched_flash_kernel, **kw)
+        # no-grad forward with one kv block per view: static-bound exp2
+        # softmax (the training fwd keeps the online form for its lse)
+        static = n_kv == 1
+        if static:
+            qp = (qp.astype(jnp.float32) * (scale * _LOG2E)).astype(qp.dtype)
+        kernel = functools.partial(
+            _batched_flash_kernel, static_max=static, **kw
+        )
         out_shape = jax.ShapeDtypeStruct((b, h, s_pad, d), vp.dtype)
         out_specs = hspec(block_q, d)
     return pl.pallas_call(

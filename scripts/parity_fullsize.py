@@ -154,6 +154,28 @@ def main():
         err = np.abs(a - b).max()
         print(f"{k}: max abs err {err:.2e}  (target 1e-3)", flush=True)
         ok &= err < 1e-3
+
+    # cross-implementation eval on real scenes: run the eval-harness metric
+    # stack (scale-aligned abs-rel + camera AUC, eval_points.py /
+    # eval_camera.py math) with the reference outputs as GT — exercises the
+    # metrics on real full-size data end-to-end.
+    from g2vlm_tpu.utils.alignment import align_depth_scale
+    from g2vlm_tpu.utils.metrics import camera_auc, se3_inverse_np
+
+    z_pred = np.asarray(got["local_points"])[..., 2]
+    z_gt = ref["local_points"][..., 2]
+    s = align_depth_scale(
+        z_pred.reshape(-1), z_gt.reshape(-1), np.ones(z_gt.size, np.float32)
+    )
+    absrel = float(
+        np.mean(np.abs(s * z_pred - z_gt) / np.maximum(np.abs(z_gt), 1e-6))
+    )
+    pred_w2c = se3_inverse_np(np.asarray(got["camera_poses"]))
+    gt_w2c = se3_inverse_np(ref["camera_poses"])
+    aucs = camera_auc(pred_w2c, gt_w2c)
+    print(f"cross-impl eval: depth abs-rel {absrel:.2e}; camera "
+          + " ".join(f"{k}={v:.4f}" for k, v in aucs.items()), flush=True)
+
     print("PARITY OK" if ok else "PARITY FAIL")
     sys.exit(0 if ok else 1)
 
