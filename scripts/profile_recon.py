@@ -366,6 +366,35 @@ def main():
 
         timeit("    segment attention x2", jax.jit(attn2), q, kk, sync=sync)
 
+    if "seg_sweep" in stages:
+        # segment-kernel block sweep at the 32-view prefill shape
+        from g2vlm_tpu.ops.flash_attention import flash_segment_attention
+
+        lcfg = cfg.llm
+        s_tok = len(prefill.doc_id)
+        nh_l, kvh, hd_l = (
+            lcfg.num_attention_heads, lcfg.num_key_value_heads, lcfg.head_dim,
+        )
+        q = jax.random.normal(key, (s_tok, nh_l, hd_l), dt)
+        kk = jax.random.normal(key, (s_tok, kvh, hd_l), dt)
+        info = prefill.token_info()
+        for bq_, bk_ in ((512, 1024), (512, 1536), (256, 1536), (512, 2048),
+                         (1024, 1024), (256, 1024)):
+            def run(q, kk, bq_=bq_, bk_=bk_):
+                o = flash_segment_attention(
+                    q, kk, kk, info, info, block_q=bq_, block_kv=bk_
+                )
+                return flash_segment_attention(
+                    o, kk, kk, info, info, block_q=bq_, block_kv=bk_
+                )
+
+            try:
+                timeit(f"    seg ({bq_},{bk_}) x2", jax.jit(run), q, kk,
+                       sync=sync)
+            except Exception as e:
+                print(f"    seg ({bq_},{bk_}): FAIL {type(e).__name__}",
+                      flush=True)
+
     if "attn_sweep" in stages:
         # batched-kernel variants at the pi3-head shape (B=32, S=777, H=16,
         # D=96): heads-per-step sweep + dense reference
