@@ -27,6 +27,8 @@ def main():
                          "loads the first --views frames at --new_width via "
                          "the standard recon preprocessing, overriding --hw")
     ap.add_argument("--new_width", type=int, default=518)
+    ap.add_argument("--out_cache", type=str, default=None,
+                    help="npz path to save OUR outputs (offline metrics)")
     ap.add_argument("--ref_cache", type=str, default=None,
                     help="npz path; saves reference outputs after the torch "
                          "forward and skips it on rerun (weights are "
@@ -162,10 +164,15 @@ def main():
     from g2vlm_tpu.utils.alignment import align_depth_scale
     from g2vlm_tpu.utils.metrics import camera_auc, se3_inverse_np
 
-    z_pred = np.asarray(got["local_points"])[..., 2]
-    z_gt = ref["local_points"][..., 2]
+    if args.out_cache:
+        np.savez(args.out_cache, **{k: np.asarray(v) for k, v in got.items()
+                                    if hasattr(v, "shape")})
+    # subsampled: the exact candidate search is O(N^2) (reference
+    # alignment semantics); ::64 of 1.2M pixels is plenty for a scale
+    z_pred = np.asarray(got["local_points"])[..., 2].reshape(-1)[::64]
+    z_gt = ref["local_points"][..., 2].reshape(-1)[::64]
     s = align_depth_scale(
-        z_pred.reshape(-1), z_gt.reshape(-1), np.ones(z_gt.size, np.float32)
+        z_pred, z_gt, np.ones(z_gt.size, np.float32)
     )
     absrel = float(
         np.mean(np.abs(s * z_pred - z_gt) / np.maximum(np.abs(z_gt), 1e-6))

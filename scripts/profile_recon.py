@@ -205,6 +205,21 @@ def main():
 
         timeit("    layer_norm x15", jax.jit(ln15), x, sync=sync)
 
+    if "dino_split" in stages:
+        # dino encode with attention stubbed to identity: isolates the
+        # matmul/LN/gelu share vs the batched-attention share in context
+        import g2vlm_tpu.ops.flash_attention as fa
+
+        orig = fa.flash_batched_attention
+        fa.flash_batched_attention = lambda q, k, v, **kw: v
+        try:
+            f = jax.jit(functools.partial(
+                jg.encode_dino_to_llm, cfg=cfg, compute_dtype=dt
+            ))
+            timeit("    dino encode NO-ATTN", f, params, imgs, sync=sync)
+        finally:
+            fa.flash_batched_attention = orig
+
     if "dino_micro" in stages:
         # dino layer pieces: attention at (32,782,16,64), matmul chain at
         # d=1024, gelu
@@ -378,8 +393,15 @@ def main():
         q = jax.random.normal(key, (s_tok, nh_l, hd_l), dt)
         kk = jax.random.normal(key, (s_tok, kvh, hd_l), dt)
         info = prefill.token_info()
-        for bq_, bk_ in ((512, 1024), (512, 1536), (256, 1536), (512, 2048),
-                         (1024, 1024), (256, 1024)):
+        cfgs = os.environ.get("G2VLM_SWEEP_CFGS")
+        if cfgs:
+            pairs = [
+                tuple(int(v) for v in c.split("x")) for c in cfgs.split(",")
+            ]
+        else:
+            pairs = [(512, 1024), (512, 1536), (256, 1536), (512, 2048),
+                     (1024, 1024), (256, 1024)]
+        for bq_, bk_ in pairs:
             def run(q, kk, bq_=bq_, bk_=bk_):
                 o = flash_segment_attention(
                     q, kk, kk, info, info, block_q=bq_, block_kv=bk_

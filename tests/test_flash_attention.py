@@ -255,3 +255,30 @@ def test_flash_kernel_under_vmap(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3
         )
+
+
+def test_static_max_matches_online(rng):
+    """The static-bound exp2 softmax shift is exact (shift invariance):
+    static_max=True and =False agree, including rows with large-norm
+    outliers and fully-masked padding rows."""
+    S, H, KVH, D = 256, 4, 2, 128
+    q = rng.standard_normal((S, H, D)).astype(np.float32)
+    k = rng.standard_normal((S, KVH, D)).astype(np.float32)
+    q[7] *= 30.0  # large-norm rows stress the bound
+    k[11] *= 30.0
+    v = rng.standard_normal((S, KVH, D)).astype(np.float32)
+    info = make_token_info_np(
+        [100, 156], [40, 60, 56, 100], ["causal", "full", "causal", "full"],
+        pad_to=256,
+    )
+    kw = dict(block_q=128, block_kv=128, interpret=True)
+    a = flash_segment_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), info, info,
+        static_max=True, **kw,
+    )
+    b = flash_segment_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), info, info,
+        static_max=False, **kw,
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5,
+                               rtol=1e-4)
