@@ -145,7 +145,9 @@ def _expert_lin(x_und, x_geo, p_und, p_geo, is_geo, mode, dtype):
 
 
 def _mlp(x, p, dtype):
-    """SwiGLU MLP (reference Qwen2MLP, modeling_qwen2_vl.py:508-521)."""
+    """SwiGLU MLP (reference Qwen2MLP, modeling_qwen2_vl.py:508-521).
+    (gate|up GEMM fusion measured neutral on v5e — XLA already schedules
+    the separate GEMMs well; kept separate for simplicity.)"""
     g = _lin(x, p["gate"], dtype)
     u = _lin(x, p["up"], dtype)
     return _lin(jax.nn.silu(g) * u, p["down"], dtype)
