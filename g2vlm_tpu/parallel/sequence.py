@@ -97,13 +97,22 @@ def sequence_parallel_attention(
     )
     seq = P(axis_name)
     info_spec = TokenInfo(seq, seq, seq, seq)
+    kwargs = dict(
+        mesh=mesh,
+        in_specs=(seq, seq, seq, info_spec, info_spec),
+        out_specs=seq,
+    )
+    # jax>=0.8 renamed check_rep -> check_vma; pass whichever exists
+    import inspect
+    params = inspect.signature(shard_map).parameters
+    if "check_vma" in params:
+        kwargs["check_vma"] = False
+    elif "check_rep" in params:
+        kwargs["check_rep"] = False
     fn = shard_map(
         functools.partial(
             sp_segment_attention, axis_name=axis_name, scale=scale, impl=impl
         ),
-        mesh=mesh,
-        in_specs=(seq, seq, seq, info_spec, info_spec),
-        out_specs=seq,
-        check_rep=False,
+        **kwargs,
     )
     return fn(q, k, v, q_info, kv_info)
