@@ -214,10 +214,18 @@ class G2VLMPipeline:
             from ..data.device_preprocess import preprocess_views_device
 
             views = preprocess_views_device(frames, (th, tw))
-            return jg.recon_forward(
+            out = jg.recon_forward(
                 params, prefill, views.astype(self.compute_dtype), self.cfg,
                 compute_dtype=self.compute_dtype, attn_impl=self.attn_impl,
             )
+            # one-element sync probe computed INSIDE the module: fetching it
+            # is a full barrier but costs a single 4-byte transfer, instead
+            # of the eager out[...][0,0,0] path which dispatches two extra
+            # tiny programs through the (high-latency) device link
+            out["_sync"] = jax.lax.slice(
+                out["points"].reshape(-1), (0,), (1,)
+            )
+            return out
 
         return jax.jit(fn)
 
