@@ -58,6 +58,26 @@ def tile_patches(
     return flat, (gt, gh, gw)
 
 
+def preprocess_internvl_image(image, size: int = 448) -> np.ndarray:
+    """InternVL-style fixed-square preprocess (reference data/transforms.py:110-148
+    InternVLImageTransform): RGB -> bicubic resize to 448x448 -> CLIP
+    normalize. Returns (C, size, size) float32. Kept for parity with the
+    reference's alternate ViT transform; the G2VLM flow uses the Qwen2-VL
+    processor below."""
+    from PIL import Image
+
+    if isinstance(image, str):
+        image = Image.open(image).convert("RGB")
+    elif isinstance(image, np.ndarray):
+        image = Image.fromarray(image)
+    elif image.mode != "RGB":
+        image = image.convert("RGB")
+    image = image.resize((size, size), Image.Resampling.BICUBIC)
+    arr = np.asarray(image, np.float32) / 255.0
+    arr = (arr - OPENAI_CLIP_MEAN) / OPENAI_CLIP_STD
+    return arr.transpose(2, 0, 1)
+
+
 def preprocess_vit_image(
     image,
     target_hw: Tuple[int, int] = (768, 768),

@@ -67,3 +67,26 @@ def test_smart_resize_matches_reference():
 
     for h, w in [(768, 768), (540, 960), (968, 1296), (100, 3000), (56, 56)]:
         assert smart_resize(h, w) == ref_smart_resize(h, w)
+
+
+def test_internvl_transform_matches_reference():
+    # Reference data/transforms.py:110-148 (InternVLImageTransform):
+    # numpy -> transformers resize((448,448), resample=3 BICUBIC) ->
+    # ToTensor (CHW /255) -> Normalize(CLIP mean/std).
+    from PIL import Image
+    from transformers.image_transforms import resize as hf_resize
+
+    from g2vlm_tpu.data.vit_preprocess import (
+        OPENAI_CLIP_MEAN,
+        OPENAI_CLIP_STD,
+        preprocess_internvl_image,
+    )
+
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 256, (130, 217, 3), dtype=np.uint8)
+    ref = hf_resize(arr, size=(448, 448), resample=3).astype(np.float32) / 255.0
+    ref = ((ref - OPENAI_CLIP_MEAN) / OPENAI_CLIP_STD).transpose(2, 0, 1)
+
+    got = preprocess_internvl_image(Image.fromarray(arr))
+    assert got.shape == (3, 448, 448)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
