@@ -17,7 +17,9 @@ import json
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--jsonl", type=str, required=True)
+    ap.add_argument("--jsonl", type=str, default=None,
+                    help="annotated scenes (JsonlReconDataset row format); "
+                    "omit with --tiny to use a synthetic scene")
     ap.add_argument("--model_path", type=str, default=None)
     ap.add_argument("--num_views", type=int, default=8)
     ap.add_argument("--max_scenes", type=int, default=0)
@@ -27,6 +29,17 @@ def main():
     ap.add_argument("--tiny", action="store_true",
                     help="tiny random-weight config (harness smoke)")
     args = ap.parse_args()
+
+    if args.jsonl is None:
+        if not args.tiny:
+            ap.error("--jsonl is required (or pass --tiny for a synthetic scene)")
+        import tempfile
+
+        from g2vlm_tpu.data.synthetic import make_tiny_scene_jsonl
+
+        args.jsonl = make_tiny_scene_jsonl(tempfile.mkdtemp(prefix="g2vlm_tiny_"))
+        if args.new_width == 518:
+            args.new_width = 140
 
     import numpy as np
     import jax
