@@ -433,14 +433,15 @@ def pi3_predict(
     out = {"local_points": local_points, "camera_poses": camera_poses}
 
     if cfg.use_global_points and "global_decoder" in params:
-        context = jnp.broadcast_to(dino_hidden[:1], dino_hidden.shape)
+        # batch-1 frame-0 context: K/V projections run once inside
+        # _cross_attn and broadcast, not N redundant times
         global_hidden = pi3_heads.decoder_forward(
             params["global_decoder"],
             dino_hidden,
             pos,
             cfg.pi3,
-            context=context,
-            context_positions=pos,
+            context=dino_hidden[:1],
+            context_positions=pos[:1],
             compute_dtype=compute_dtype,
         )
         out["global_points"] = pi3_heads.linear_pts3d(

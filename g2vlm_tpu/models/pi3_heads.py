@@ -136,9 +136,14 @@ def _self_attn(x, lp, cos, sin, num_heads, dtype):
 def _cross_attn(x, y, lp, cos_q, sin_q, cos_k, sin_k, num_heads, dtype):
     """Separate-projection cross attention with RoPE2D (reference
     FlashCrossAttentionRope, attention.py:238-270). Rotations folded into
-    extra projection columns like _self_attn."""
+    extra projection columns like _self_attn.
+
+    y may carry batch 1 against x batch B (the global decoder's shared
+    frame-0 context, reference Pi3ContextTransformerDecoder): K/V
+    projections + rope then run once and broadcast after, instead of B
+    redundant copies."""
     b, s, d = x.shape
-    m = y.shape[1]
+    by, m = y.shape[0], y.shape[1]
     hd = d // num_heads
     idx, sgn = _rope_fold_idx(num_heads, hd)
 
@@ -153,11 +158,14 @@ def _cross_attn(x, y, lp, cos_q, sin_q, cos_k, sin_k, num_heads, dtype):
     kk = _lin(y, ext(lp["k"]), dtype)
     q = qq[..., :d].reshape(b, s, num_heads, hd)
     q_rot = qq[..., d:].reshape(b, s, num_heads, hd)
-    k = kk[..., :d].reshape(b, m, num_heads, hd)
-    k_rot = kk[..., d:].reshape(b, m, num_heads, hd)
-    v = _lin(y, lp["v"], dtype).reshape(b, m, num_heads, hd)
+    k = kk[..., :d].reshape(by, m, num_heads, hd)
+    k_rot = kk[..., d:].reshape(by, m, num_heads, hd)
+    v = _lin(y, lp["v"], dtype).reshape(by, m, num_heads, hd)
     q = _rope_mix(q, q_rot, cos_q, sin_q, dtype)
     k = _rope_mix(k, k_rot, cos_k, sin_k, dtype)
+    if by == 1 and b > 1:
+        k = jnp.broadcast_to(k, (b, m, num_heads, hd))
+        v = jnp.broadcast_to(v, (b, m, num_heads, hd))
     out = _attend(q, k, v).reshape(b, s, d)
     return _lin(out, lp["proj"], dtype)
 
