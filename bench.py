@@ -50,26 +50,41 @@ def main():
 
     # warmup/compile (twice: the second run hits steady-state allocator/
     # dispatch paths so the timed loop isn't polluted by first-call overhead)
+    pipe.recon_from_frames(frames)
+    np.asarray(pipe.last_sync)
     out = pipe.recon_from_frames(frames)
-    np.asarray(out["_sync"])
-    out = pipe.recon_from_frames(frames)
-    np.asarray(out["_sync"])
+    np.asarray(pipe.last_sync)
 
-    # throughput timing: K back-to-back dispatches, one barrier. The sync
-    # probe is computed INSIDE the fused module (pipeline._recon_u8_jit), so
-    # fetching its 4 bytes is a true completion barrier; batching iterations
-    # amortizes the device-link round-trip out of the *throughput* metric
-    # (serving pipelines overlap dispatch with compute the same way).
+    # PIPELINED-THROUGHPUT timing: K back-to-back dispatches, one barrier.
+    # The sync probe is computed INSIDE the fused module
+    # (pipeline._recon_u8_jit), so fetching its 4 bytes is a true completion
+    # barrier; batching iterations amortizes the device-link round-trip out
+    # of the *throughput* metric (serving pipelines overlap dispatch with
+    # compute the same way). A per-call-latency number (1 dispatch per
+    # barrier) is reported on stderr for comparability with pre-r2 records.
     K = 4
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(K):
             out = pipe.recon_from_frames(frames)
-        np.asarray(out["_sync"])  # full barrier (outputs stay on-chip)
+        np.asarray(pipe.last_sync)  # full barrier (outputs stay on-chip)
         times.append((time.perf_counter() - t0) / K)
     dt = min(times)
     fps = n_views / dt
+
+    lat_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = pipe.recon_from_frames(frames)
+        np.asarray(pipe.last_sync)
+        lat_times.append(time.perf_counter() - t0)
+    lat = min(lat_times)
+    print(
+        f"per-call latency: {lat*1e3:.1f} ms = {n_views/lat:.2f} fps "
+        f"(vs pipelined {fps:.2f})",
+        file=sys.stderr,
+    )
 
     # correctness tripwire (stderr; the stdout contract is ONE JSON line):
     # a full-output checksum so throughput can't drift away from correct
@@ -85,7 +100,8 @@ def main():
     try:
         import glob
 
-        records = sorted(glob.glob("BENCH_r*.json"))
+        here = os.path.dirname(os.path.abspath(__file__))
+        records = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
         if records:
             with open(records[-1]) as f:
                 prev = json.load(f).get("value")
@@ -96,7 +112,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"{n_views}-view recon frames/sec/chip (518x294, 2B MoT, bf16)",
+                "metric": f"{n_views}-view recon frames/sec/chip, pipelined throughput (518x294, 2B MoT, bf16)",
                 "value": round(fps, 3),
                 "unit": "frames/sec",
                 "vs_baseline": round(vs_baseline, 3),

@@ -23,7 +23,8 @@ def main():
     ap.add_argument("--max_scenes", type=int, default=0)
     ap.add_argument("--dtype", type=str, default="bfloat16",
                     choices=["bfloat16", "float32"])
-    ap.add_argument("--new_width", type=int, default=518)
+    ap.add_argument("--new_width", type=int, default=None,
+                    help="resize width (default 518; 140 under --tiny)")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny random-weight config (harness smoke)")
     args = ap.parse_args()
@@ -36,8 +37,8 @@ def main():
         from g2vlm_tpu.data.synthetic import make_tiny_scene_jsonl
 
         args.jsonl = make_tiny_scene_jsonl(tempfile.mkdtemp(prefix="g2vlm_tiny_"))
-        if args.new_width == 518:
-            args.new_width = 140
+    if args.new_width is None:
+        args.new_width = 140 if args.tiny else 518
 
     import numpy as np
     import jax

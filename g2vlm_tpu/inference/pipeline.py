@@ -202,7 +202,11 @@ class G2VLMPipeline:
         n, h0, w0, _ = frames.shape
         th, tw = target_hw(h0, w0, new_width, self.cfg.dino_patch_size)
         fn = self._recon_u8_jit((n, h0, w0, th, tw, prompt))
-        return fn(self.params, jnp.asarray(frames))
+        out = fn(self.params, jnp.asarray(frames))
+        # the in-module sync probe is plumbing, not a model output: expose it
+        # out-of-band (fetching these 4 bytes is a full completion barrier)
+        self.last_sync = out.pop("_sync")
+        return out
 
     @functools.lru_cache(maxsize=8)
     def _recon_u8_jit(self, key):

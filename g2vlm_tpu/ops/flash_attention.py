@@ -125,8 +125,14 @@ def _online_softmax_update(s, mask, v, m_scr, l_scr, acc_scr,
         # s is pre-scaled by scale*log2(e) (folded into q outside the
         # kernel), so exp2 with no per-element multiplies at all
         # (bf16 exp2 measured no faster — Mosaic does not pack bf16
-        # transcendentals)
-        p = jnp.exp2(s - m_scr[:, :1])
+        # transcendentals). The exponent is saturated at +100: when the
+        # shift bound is NOT capped (every qk-normed caller), s-m <= 0 by
+        # Cauchy-Schwarz and the min is a no-op; when the 40-nat cap
+        # engages AND true logits exceed it by >100 log2 units (reachable
+        # only for un-normed callers with ~extreme activations), weights
+        # saturate at 2^100 instead of overflowing exp2 -> inf -> NaN
+        # (row sums stay < 2^100 * S_kv << fp32 max).
+        p = jnp.exp2(jnp.minimum(s - m_scr[:, :1], 100.0))
         if mask is not None:
             p = jnp.where(mask, p, 0.0)
         l_scr[:, :1] += jnp.sum(p, axis=1, keepdims=True)
@@ -450,15 +456,18 @@ def _fwd_pallas(qp, kp, vp, qm, km, scale, block_q, block_kv, interpret,
     n_kv = skv_p // block_kv
     g = h // kvh
     codes = _block_codes(qm, km, block_q, block_kv)
-    # per-kv-head max key norm for the static softmax shift (tiny XLA pass)
-    kf = kp.astype(jnp.float32)
-    kmax = jnp.sqrt(jnp.max(jnp.sum(kf * kf, axis=2), axis=1))  # (KVH,)
     if static_max:
+        # per-kv-head max key norm for the static softmax shift (tiny XLA
+        # pass; only the static-max kernel reads it)
+        kf = kp.astype(jnp.float32)
+        kmax = jnp.sqrt(jnp.max(jnp.sum(kf * kf, axis=2), axis=1))  # (KVH,)
         # fold scale*log2(e) into q (fused into the pad pass by XLA): the
         # kernel then computes exp2 scores with zero per-element multiplies.
         # Residuals for the backward keep the ORIGINAL q (custom_vjp saves
         # the wrapper args, not this scaled copy).
         qp = (qp.astype(jnp.float32) * (scale * _LOG2E)).astype(qp.dtype)
+    else:
+        kmax = jnp.zeros((kvh,), jnp.float32)  # unread placeholder operand
     if with_lse:
         kernel = functools.partial(
             _flash_kernel_lse, scale=scale, n_kv_blocks=n_kv,

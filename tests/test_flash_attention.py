@@ -282,3 +282,39 @@ def test_static_max_matches_online(rng):
     )
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5,
                                rtol=1e-4)
+
+
+def test_static_max_extreme_logits_finite(rng):
+    """Un-qk-normed callers can in principle produce logits past the 40-nat
+    static-max cap; the saturated-exponent path must stay finite (no
+    exp2 -> inf -> NaN) and still match the shift-invariant softmax when the
+    extreme scores are ties (ADVICE r2: overflow past ~101 nats)."""
+    S, H, KVH, D = 128, 2, 2, 128
+    v0 = rng.standard_normal(D).astype(np.float32)
+    v0 /= np.linalg.norm(v0)
+    # all scores equal and enormous (~28k nats): cap engages, s-m >> 100
+    q = np.tile(50.0 * v0, (S, H, 1)).astype(np.float32)
+    k = np.tile(50.0 * v0, (S, KVH, 1)).astype(np.float32)
+    v = rng.standard_normal((S, KVH, D)).astype(np.float32)
+    info = make_token_info_np([S], [S], ["full"])
+    out = flash_segment_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), info, info,
+        block_q=128, block_kv=128, interpret=True, static_max=True,
+    )
+    out = np.asarray(out)
+    assert np.isfinite(out).all()
+    # uniform softmax over the S visible keys = per-head mean of v
+    want = np.broadcast_to(v.mean(axis=0)[None], (S, KVH, D))
+    want = np.repeat(want, H // KVH, axis=1)
+    np.testing.assert_allclose(out, want, atol=1e-4, rtol=1e-4)
+
+    # mixed case: one extreme row among normal ones must not poison others
+    q2 = rng.standard_normal((S, H, D)).astype(np.float32)
+    k2 = rng.standard_normal((S, KVH, D)).astype(np.float32)
+    q2[7] = 60.0 * v0
+    k2[11] = 60.0 * v0
+    out2 = np.asarray(flash_segment_attention(
+        jnp.asarray(q2), jnp.asarray(k2), jnp.asarray(v), info, info,
+        block_q=128, block_kv=128, interpret=True, static_max=True,
+    ))
+    assert np.isfinite(out2).all()
