@@ -5,9 +5,23 @@ temperature sampling, stop at eos, batch=1.
 
 TPU design: the reference rebuilds the whole KV cache by scatter every step
 (qwen2vl.py:621-638, O(L^2) memory traffic). Here the cache is a fixed
-(L, C, KVH, HD) buffer; each step appends via lax.dynamic_update_slice and the
-whole generation loop is ONE lax.while_loop inside ONE jitted function — no
-host round-trips until the final token buffer is fetched.
+(L, C, KVH, HD) buffer carried THROUGH the layer scan and updated in place
+with lax.dynamic_update_slice (carrying it as scan xs/ys would double-buffer
+the whole cache — the 2x that made B=8 @ 25.6k-ctx OOM in round 2); the whole
+generation loop is ONE lax.while_loop inside ONE jitted function — no host
+round-trips until the final token buffer is fetched.
+
+Serving extensions beyond the reference's batch=1 greedy loop:
+  * generate_batched — B independent sequences in one while_loop.
+  * int8-quantized KV (make_cache(quantized=True)): per-(position, head)
+    absmax scales, dequantized inside the attention read. Halves cache HBM
+    and its read bandwidth.
+  * generate_tp — the cache's context axis sharded over a mesh axis
+    (flash-decoding across chips): each chip attends over its KV shard and
+    the partial softmax statistics merge with one pmax+psum per layer.
+    Scales long-context serving over ICI without touching head counts
+    (Qwen2-VL-2B has only 2 kv heads, so head-sharding caps at tp=2;
+    context-sharding scales to the whole mesh).
 """
 
 from __future__ import annotations
@@ -17,6 +31,7 @@ from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
 
 from ..config import LLMConfig
 from ..ops.norms import rms_norm
@@ -24,83 +39,89 @@ from ..ops.rope import apply_mrope, mrope_cos_sin
 
 
 class KVCache(NamedTuple):
-    k: jax.Array  # (L, C, KVH, HD)
+    k: jax.Array  # (L, C, KVH, HD) — int8 when quantized
     v: jax.Array
+    k_scale: Optional[jax.Array]  # (L, C, KVH) fp32 absmax/127; None if not
+    v_scale: Optional[jax.Array]  # quantized
     length: jax.Array  # () int32 — valid prefix
 
 
-def make_cache(cfg: LLMConfig, capacity: int, dtype=jnp.bfloat16) -> KVCache:
+def make_cache(
+    cfg: LLMConfig, capacity: int, dtype=jnp.bfloat16, quantized: bool = False
+) -> KVCache:
     L, kvh, hd = cfg.num_hidden_layers, cfg.num_key_value_heads, cfg.head_dim
+    kv_dtype = jnp.int8 if quantized else dtype
+    scale = (
+        jnp.zeros((L, capacity, kvh), jnp.float32) if quantized else None
+    )
     return KVCache(
-        k=jnp.zeros((L, capacity, kvh, hd), dtype),
-        v=jnp.zeros((L, capacity, kvh, hd), dtype),
+        k=jnp.zeros((L, capacity, kvh, hd), kv_dtype),
+        v=jnp.zeros((L, capacity, kvh, hd), kv_dtype),
+        k_scale=scale,
+        v_scale=None if scale is None else jnp.zeros_like(scale),
         length=jnp.zeros((), jnp.int32),
     )
 
 
+def _quant(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """int8-quantize over the last (head_dim) axis.
+    x (..., KVH, HD) -> (int8 same shape, fp32 scale (..., KVH))."""
+    s = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True) / 127.0
+    s = jnp.maximum(s, 1e-10)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127).astype(
+        jnp.int8
+    )
+    return q, s[..., 0]
+
+
 def fill_cache(cache: KVCache, prefill_kv: Dict, valid_len) -> KVCache:
     """Copy a prefill's per-layer KV (L, S, KVH, HD) into the cache head."""
-    s = prefill_kv["k"].shape[1]
+    k_new, v_new = prefill_kv["k"], prefill_kv["v"]
+    ks = vs = cache.k_scale
+    if cache.k_scale is not None:
+        k_new, sk = _quant(k_new)
+        v_new, sv = _quant(v_new)
+        ks = jax.lax.dynamic_update_slice(cache.k_scale, sk, (0, 0, 0))
+        vs = jax.lax.dynamic_update_slice(cache.v_scale, sv, (0, 0, 0))
     k = jax.lax.dynamic_update_slice(
-        cache.k, prefill_kv["k"].astype(cache.k.dtype), (0, 0, 0, 0)
+        cache.k, k_new.astype(cache.k.dtype), (0, 0, 0, 0)
     )
     v = jax.lax.dynamic_update_slice(
-        cache.v, prefill_kv["v"].astype(cache.v.dtype), (0, 0, 0, 0)
+        cache.v, v_new.astype(cache.v.dtype), (0, 0, 0, 0)
     )
-    return KVCache(k, v, jnp.asarray(valid_len, jnp.int32))
+    return KVCache(k, v, ks, vs, jnp.asarray(valid_len, jnp.int32))
 
 
-def _decode_layer(lp, x, cache_k, cache_v, cur_len, cos, sin, cfg: LLMConfig, dt):
-    """One und-expert decoder layer for a single token (x: (1, D)).
-    Returns (hidden, new_k_row, new_v_row)."""
-    nh, kvh, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
-    g = nh // kvh
+def _attend(q, k_all, v_all, k_scale, v_scale, visible, hd, tp_axis):
+    """Softmax attention of one query token over a (local) cache shard.
 
-    res = x
-    h = rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps)
-    q = (h.astype(dt) @ lp["q"]["w"].astype(dt) + lp["q"]["b"].astype(dt)).reshape(
-        1, nh, hd
-    )
-    k = (h.astype(dt) @ lp["k"]["w"].astype(dt) + lp["k"]["b"].astype(dt)).reshape(
-        1, kvh, hd
-    )
-    v = (h.astype(dt) @ lp["v"]["w"].astype(dt) + lp["v"]["b"].astype(dt)).reshape(
-        1, kvh, hd
-    )
-    if cfg.qk_norm:
-        q = rms_norm(q.astype(jnp.float32), lp["q_norm"], cfg.rms_norm_eps)
-        k = rms_norm(k.astype(jnp.float32), lp["k_norm"], cfg.rms_norm_eps)
-    q, k = apply_mrope(q, k, cos, sin)
-    q = q.astype(dt)
-    k_row = k.astype(dt)
-    v_row = v.astype(dt)
-
-    k_all = jax.lax.dynamic_update_slice(cache_k, k_row, (cur_len, 0, 0))
-    v_all = jax.lax.dynamic_update_slice(cache_v, v_row, (cur_len, 0, 0))
-
-    c = k_all.shape[0]
-    mask = jnp.arange(c) <= cur_len  # (C,)
-    qg = q.reshape(kvh, g, hd).astype(jnp.float32)
+    q (KVH, G, HD) fp32; k_all/v_all (C_loc, KVH, HD); scales (C_loc, KVH)
+    or None; visible (C_loc,) bool. With tp_axis set this is the per-chip
+    body of flash-decoding: local max/sum statistics merge exactly across
+    the context shards with one pmax + psum (softmax is shift-invariant)."""
+    kf = k_all.astype(jnp.float32)
+    vf = v_all.astype(jnp.float32)
+    if k_scale is not None:
+        kf = kf * k_scale[..., None]
+        vf = vf * v_scale[..., None]
     logits = jnp.einsum(
-        "ngd,cnd->ngc", qg, k_all.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
+        "ngd,cnd->ngc", q, kf, preferred_element_type=jnp.float32
     ) * (hd ** -0.5)
-    logits = jnp.where(mask[None, None, :], logits, -1e30)
-    probs = jax.nn.softmax(logits, axis=-1)
-    attn = jnp.einsum(
-        "ngc,cnd->ngd", probs, v_all.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
+    logits = jnp.where(visible[None, None, :], logits, -jnp.inf)
+    m = jnp.max(logits, axis=-1)  # (KVH, G)
+    if tp_axis is not None:
+        m = jax.lax.pmax(m, tp_axis)
+    # fully-invisible shards: m = -inf -> p = 0 contributions
+    p = jnp.exp(logits - jnp.where(jnp.isfinite(m), m, 0.0)[..., None])
+    p = jnp.where(visible[None, None, :], p, 0.0)
+    l = jnp.sum(p, axis=-1)  # (KVH, G)
+    acc = jnp.einsum(
+        "ngc,cnd->ngd", p, vf, preferred_element_type=jnp.float32
     )
-    attn = attn.reshape(1, nh * hd).astype(dt)
-    attn = attn @ lp["o"]["w"].astype(dt)
-    x = res + attn
-
-    res = x
-    h = rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps).astype(dt)
-    gate = h @ lp["mlp"]["gate"]["w"].astype(dt)
-    up = h @ lp["mlp"]["up"]["w"].astype(dt)
-    x = res + (jax.nn.silu(gate) * up) @ lp["mlp"]["down"]["w"].astype(dt)
-    return x, k_all, v_all
+    if tp_axis is not None:
+        l = jax.lax.psum(l, tp_axis)
+        acc = jax.lax.psum(acc, tp_axis)
+    return acc / jnp.maximum(l, 1e-30)[..., None]  # (KVH, G, HD)
 
 
 def decode_step(
@@ -110,47 +131,102 @@ def decode_step(
     rope_pos: jax.Array,  # () int32
     cfg: LLMConfig,
     compute_dtype=jnp.bfloat16,
+    tp_axis: Optional[str] = None,
 ) -> Tuple[jax.Array, KVCache]:
-    """One decode step (und expert only). Returns (logits (V,), cache')."""
+    """One decode step (und expert only). Returns (logits (V,), cache').
+
+    Inside shard_map with tp_axis set, cache leaves hold the LOCAL context
+    shard (C_loc = C / n_tp, contiguous blocks in mesh-axis order) and
+    params are replicated; attention merges across chips (see _attend)."""
     dt = compute_dtype
+    nh, kvh, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    g = nh // kvh
+    quantized = cache.k_scale is not None
     x = params["embed"][token][None, :].astype(dt)  # (1, D)
     pos3 = jnp.broadcast_to(rope_pos, (3, 1))
     cos, sin = mrope_cos_sin(pos3, cfg.head_dim, cfg.rope_theta, cfg.mrope_section)
 
-    def body(x, xs):
-        lp, ck, cv = xs
-        x, k_all, v_all = _decode_layer(
-            lp, x, ck, cv, cache.length, cos, sin, cfg, dt
-        )
-        return x, (k_all, v_all)
+    cur = cache.length
+    c_loc = cache.k.shape[1]
+    if tp_axis is not None:
+        shard = jax.lax.axis_index(tp_axis)
+        offset = (shard * c_loc).astype(jnp.int32)
+    else:
+        offset = jnp.zeros((), jnp.int32)
+    owns = (cur >= offset) & (cur < offset + c_loc)
+    local_pos = jnp.clip(cur - offset, 0, c_loc - 1)
+    visible = (jnp.arange(c_loc, dtype=jnp.int32) + offset) <= cur
 
-    x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
+    def write_row(buf, row, idx):
+        """In-place row write at (layer, local_pos) iff this shard owns the
+        position; a row-level select keeps the non-owning case O(row)."""
+        row = row.reshape((1, 1) + row.shape).astype(buf.dtype)
+        old = jax.lax.dynamic_slice(buf, idx, row.shape)
+        new = jnp.where(owns, row, old)
+        return jax.lax.dynamic_update_slice(buf, new, idx)
+
+    def body(carry, xs):
+        x, ck, cv, cks, cvs = carry
+        lp, i = xs
+        res = x
+        h = rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps)
+        q = (
+            h.astype(dt) @ lp["q"]["w"].astype(dt) + lp["q"]["b"].astype(dt)
+        ).reshape(1, nh, hd)
+        k = (
+            h.astype(dt) @ lp["k"]["w"].astype(dt) + lp["k"]["b"].astype(dt)
+        ).reshape(1, kvh, hd)
+        v = (
+            h.astype(dt) @ lp["v"]["w"].astype(dt) + lp["v"]["b"].astype(dt)
+        ).reshape(1, kvh, hd)
+        if cfg.qk_norm:
+            q = rms_norm(q.astype(jnp.float32), lp["q_norm"], cfg.rms_norm_eps)
+            k = rms_norm(k.astype(jnp.float32), lp["k_norm"], cfg.rms_norm_eps)
+        q, k = apply_mrope(q, k, cos, sin)
+        k_row, v_row = k[0], v[0]  # (KVH, HD)
+        if quantized:
+            kq, ksr = _quant(k_row)
+            vq, vsr = _quant(v_row)
+            ck = write_row(ck, kq, (i, local_pos, 0, 0))
+            cv = write_row(cv, vq, (i, local_pos, 0, 0))
+            cks = write_row(cks, ksr, (i, local_pos, 0))
+            cvs = write_row(cvs, vsr, (i, local_pos, 0))
+        else:
+            ck = write_row(ck, k_row.astype(ck.dtype), (i, local_pos, 0, 0))
+            cv = write_row(cv, v_row.astype(cv.dtype), (i, local_pos, 0, 0))
+
+        k_all = jax.lax.dynamic_index_in_dim(ck, i, 0, keepdims=False)
+        v_all = jax.lax.dynamic_index_in_dim(cv, i, 0, keepdims=False)
+        ksc = vsc = None
+        if quantized:
+            ksc = jax.lax.dynamic_index_in_dim(cks, i, 0, keepdims=False)
+            vsc = jax.lax.dynamic_index_in_dim(cvs, i, 0, keepdims=False)
+        qg = q.reshape(kvh, g, hd).astype(jnp.float32)
+        attn = _attend(qg, k_all, v_all, ksc, vsc, visible, hd, tp_axis)
+        attn = attn.reshape(1, nh * hd).astype(dt)
+        x = res + attn @ lp["o"]["w"].astype(dt)
+
+        res = x
+        h = rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps).astype(dt)
+        gate = h @ lp["mlp"]["gate"]["w"].astype(dt)
+        up = h @ lp["mlp"]["up"]["w"].astype(dt)
+        x = res + (jax.nn.silu(gate) * up) @ lp["mlp"]["down"]["w"].astype(dt)
+        return (x, ck, cv, cks, cvs), None
+
+    L = cfg.num_hidden_layers
+    carry0 = (x, cache.k, cache.v, cache.k_scale, cache.v_scale)
+    (x, ck, cv, cks, cvs), _ = jax.lax.scan(
+        body, carry0, (params["layers"], jnp.arange(L))
+    )
     h = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     logits = (h.astype(jnp.float32) @ params["lm_head"].astype(jnp.float32))[0]
-    return logits, KVCache(new_k, new_v, cache.length + 1)
+    return logits, KVCache(ck, cv, cks, cvs, cache.length + 1)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "max_new_tokens", "do_sample", "compute_dtype")
-)
-def generate(
-    params: Dict,
-    cache: KVCache,
-    start_token: jax.Array,  # () int32
-    rope_pos: jax.Array,  # () int32 — rope position of the start token
-    eos_token_id: int,
-    cfg: LLMConfig,
-    max_new_tokens: int = 100,
-    do_sample: bool = False,
-    temperature: float = 1.0,
-    rng_key: Optional[jax.Array] = None,
-    compute_dtype=jnp.bfloat16,
-) -> Tuple[jax.Array, jax.Array]:
-    """Greedy/temperature generation as one while_loop. Returns
-    (tokens (max_new_tokens,) padded with eos, num_generated)."""
-    if rng_key is None:
-        rng_key = jax.random.PRNGKey(0)
-
+def _generate_loop(
+    params, cache, start_token, rope_pos, eos_token_id, cfg, max_new_tokens,
+    do_sample, temperature, rng_key, compute_dtype, tp_axis=None,
+):
     tokens0 = jnp.full((max_new_tokens,), eos_token_id, jnp.int32)
 
     def cond(state):
@@ -159,7 +235,9 @@ def generate(
 
     def body(state):
         i, tok, pos, cache, toks, key, done = state
-        logits, cache = decode_step(params, cache, tok, pos, cfg, compute_dtype)
+        logits, cache = decode_step(
+            params, cache, tok, pos, cfg, compute_dtype, tp_axis=tp_axis
+        )
         if do_sample:
             key, sub = jax.random.split(key)
             nxt = jax.random.categorical(sub, logits / temperature)
@@ -184,7 +262,102 @@ def generate(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "max_new_tokens", "do_sample", "compute_dtype")
+    jax.jit,
+    static_argnames=("cfg", "max_new_tokens", "do_sample", "compute_dtype"),
+    donate_argnums=(1,),  # cache buffers alias the loop carry in place on
+    # TPU (no donation -> input copy -> 2x KV residency); callers must not
+    # reuse a cache object after generate consumes it
+)
+def generate(
+    params: Dict,
+    cache: KVCache,
+    start_token: jax.Array,  # () int32
+    rope_pos: jax.Array,  # () int32 — rope position of the start token
+    eos_token_id: int,
+    cfg: LLMConfig,
+    max_new_tokens: int = 100,
+    do_sample: bool = False,
+    temperature: float = 1.0,
+    rng_key: Optional[jax.Array] = None,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jax.Array, jax.Array]:
+    """Greedy/temperature generation as one while_loop. Returns
+    (tokens (max_new_tokens,) padded with eos, num_generated)."""
+    if rng_key is None:
+        rng_key = jax.random.PRNGKey(0)
+    return _generate_loop(
+        params, cache, start_token, rope_pos, eos_token_id, cfg,
+        max_new_tokens, do_sample, temperature, rng_key, compute_dtype,
+    )
+
+
+def generate_tp(
+    params: Dict,
+    cache: KVCache,
+    start_token: jax.Array,
+    rope_pos: jax.Array,
+    eos_token_id: int,
+    cfg: LLMConfig,
+    mesh,
+    axis_name: str = "tp",
+    max_new_tokens: int = 100,
+    do_sample: bool = False,
+    temperature: float = 1.0,
+    rng_key: Optional[jax.Array] = None,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jax.Array, jax.Array]:
+    """Context-sharded (flash-decoding) generation over `axis_name`: the KV
+    cache's context axis is partitioned across the mesh (22.4G of B=8 32-view
+    chat KV is 2.8G/chip on a v5e-8), params are replicated, and every chip
+    runs the same decode step with a pmax+psum softmax merge per layer.
+    Token-for-token equal to single-device `generate` (softmax statistics
+    merge exactly; see tests/test_multichip.py).
+
+    Capacity must divide the axis size. The serving fix for round 2's
+    batched long-context OOM (docs/BENCH_NOTES.md) — combine with vmap/jit
+    batch sharding over `dp` for B>1."""
+    from ..parallel.mesh import shard_map_compat
+
+    if rng_key is None:
+        rng_key = jax.random.PRNGKey(0)
+    n = mesh.shape[axis_name]
+    assert cache.k.shape[1] % n == 0, (
+        f"cache capacity {cache.k.shape[1]} must divide {axis_name}={n}"
+    )
+    ctx = P(None, axis_name)
+    cache_spec = KVCache(
+        k=P(None, axis_name, None, None),
+        v=P(None, axis_name, None, None),
+        k_scale=None if cache.k_scale is None else ctx,
+        v_scale=None if cache.v_scale is None else ctx,
+        length=P(),
+    )
+    body = functools.partial(
+        _generate_loop,
+        eos_token_id=eos_token_id,
+        cfg=cfg,
+        max_new_tokens=max_new_tokens,
+        do_sample=do_sample,
+        temperature=temperature,
+        compute_dtype=compute_dtype,
+        tp_axis=axis_name,
+    )
+    fn = shard_map_compat(
+        lambda p, c, st, rp, key: body(p, c, st, rp, rng_key=key),
+        mesh=mesh,
+        in_specs=(P(), cache_spec, P(), P(), P()),
+        out_specs=(P(), P()),
+    )
+    return jax.jit(fn, donate_argnums=(1,))(
+        params, cache, jnp.asarray(start_token, jnp.int32),
+        jnp.asarray(rope_pos, jnp.int32), rng_key,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new_tokens", "do_sample", "compute_dtype"),
+    donate_argnums=(1,),  # see generate: caches are consumed
 )
 def generate_batched(
     params: Dict,
@@ -206,7 +379,10 @@ def generate_batched(
     counting. Returns (tokens (B, max_new_tokens), num_generated (B,)).
 
     The reference decodes strictly batch=1 (g2vlm.py:1070-1141); this is the
-    production-serving extension."""
+    production-serving extension. For multi-chip serving, device_put the
+    caches with a batch-axis NamedSharding before calling — every per-
+    sequence op is batch-parallel, so GSPMD runs each shard's sequences
+    entirely on their own chip (tests/test_multichip.py)."""
     if rng_key is None:
         rng_key = jax.random.PRNGKey(0)
     b = start_tokens.shape[0]

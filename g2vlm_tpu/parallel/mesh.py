@@ -140,6 +140,26 @@ def param_shardings(params: Dict, mesh: Mesh) -> Dict:
     )
 
 
+def shard_map_compat(fn, mesh, in_specs, out_specs):
+    """shard_map across jax versions: import location moved and
+    check_rep was renamed check_vma in jax>=0.8; pass whichever exists
+    (replication checking is disabled — bodies here use explicit psums)."""
+    import inspect
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    kwargs = dict(mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    sig = inspect.signature(shard_map).parameters
+    if "check_vma" in sig:
+        kwargs["check_vma"] = False
+    elif "check_rep" in sig:
+        kwargs["check_rep"] = False
+    return shard_map(fn, **kwargs)
+
+
 def addressable_param_bytes(params: Dict) -> int:
     """Per-device bytes actually held for a sharded param tree (device 0)."""
     total = 0

@@ -22,6 +22,9 @@ def main():
     ap.add_argument("--contexts", type=str, default="2176,25600")
     ap.add_argument("--batch", type=str, default="1,8")
     ap.add_argument("--new_tokens", type=int, default=64)
+    ap.add_argument("--kv", type=str, default="bf16", choices=["bf16", "int8"],
+                    help="KV cache storage: bf16 or int8 (per-row absmax "
+                    "quantized; halves cache HBM + read bandwidth)")
     args = ap.parse_args()
 
     import jax
@@ -46,12 +49,18 @@ def main():
             key = jax.random.PRNGKey(1)
 
             def mk_cache():
-                c = decoding.make_cache(cfg, capacity, dtype=jnp.bfloat16)
-                k = jax.random.normal(key, c.k.shape, jnp.bfloat16) * 0.1
-                v = jax.random.normal(key, c.v.shape, jnp.bfloat16) * 0.1
-                return decoding.KVCache(
-                    k=k, v=v, length=jnp.asarray(ctx, jnp.int32)
+                c = decoding.make_cache(
+                    cfg, capacity, dtype=jnp.bfloat16,
+                    quantized=(args.kv == "int8"),
                 )
+                pre = {
+                    "k": jax.random.normal(
+                        key, (c.k.shape[0], capacity) + c.k.shape[2:],
+                        jnp.bfloat16,
+                    ) * 0.1,
+                }
+                pre["v"] = pre["k"] * 0.7 + 0.01
+                return decoding.fill_cache(c, pre, ctx)
 
             if b == 1:
                 def run():
@@ -91,7 +100,7 @@ def main():
             dt = min(ts)
             tps = b * n_new / dt
             print(
-                f"ctx={ctx:6d} B={b}  {tps:8.1f} tok/s "
+                f"ctx={ctx:6d} B={b} kv={args.kv}  {tps:8.1f} tok/s "
                 f"({dt/n_new*1e3:.2f} ms/step)",
                 flush=True,
             )

@@ -178,3 +178,120 @@ def test_train_step_sequence_parallel(rng):
     sp_loss = float(m_sp["loss"])
     assert np.isfinite(sp_loss)
     np.testing.assert_allclose(sp_loss, ref_loss, rtol=1e-3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_generate_tp_context_sharded_matches_single(rng):
+    """Flash-decoding across chips: the KV cache's context axis sharded over
+    tp=8 must reproduce single-device greedy tokens exactly (the softmax
+    max/sum statistics merge is exact). This is the serving fix for the
+    round-2 B=8 @ 25.6k-ctx OOM (VERDICT r2 #1)."""
+    from g2vlm_tpu.config import tiny_test_config
+    from g2vlm_tpu.inference import decoding
+
+    cfg = tiny_test_config().llm
+    params = jg.init_params(tiny_test_config(), jax.random.PRNGKey(0),
+                            dtype=jnp.float32)["llm"]
+    L, kvh, hd = cfg.num_hidden_layers, cfg.num_key_value_heads, cfg.head_dim
+    # a random 23-token prefill: context spans several shards of capacity 64
+    pre = {
+        "k": jnp.asarray(rng.standard_normal((L, 23, kvh, hd)), jnp.float32),
+        "v": jnp.asarray(rng.standard_normal((L, 23, kvh, hd)), jnp.float32),
+    }
+    def cache():  # generate() donates its cache — build one per call
+        return decoding.fill_cache(
+            decoding.make_cache(cfg, 64, dtype=jnp.float32), pre, 23
+        )
+
+    kw = dict(eos_token_id=8, cfg=cfg, max_new_tokens=8,
+              compute_dtype=jnp.float32)
+    toks_1, n_1 = decoding.generate(
+        params, cache(), jnp.asarray(5), jnp.asarray(23), **kw
+    )
+    mesh = meshlib.make_mesh(8, dp=1, fsdp=1, tp=8)
+    toks_tp, n_tp = decoding.generate_tp(
+        params, cache(), jnp.asarray(5), jnp.asarray(23), mesh=mesh,
+        axis_name=meshlib.TP, **kw,
+    )
+    np.testing.assert_array_equal(np.asarray(toks_tp), np.asarray(toks_1))
+    assert int(n_tp) == int(n_1)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_generate_batched_dp_sharded_matches(rng):
+    """Batched decode with the batch axis device_put over a dp mesh axis ==
+    unsharded tokens (every per-sequence op is batch-parallel, so GSPMD runs
+    each shard's sequences on their own chip)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from g2vlm_tpu.config import tiny_test_config
+    from g2vlm_tpu.inference import decoding
+
+    cfg = tiny_test_config().llm
+    params = jg.init_params(tiny_test_config(), jax.random.PRNGKey(0),
+                            dtype=jnp.float32)["llm"]
+    b = 8
+
+    def batched_cache():  # generate_batched donates its caches
+        caches = [decoding.make_cache(cfg, 64, dtype=jnp.float32)
+                  for _ in range(b)]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *caches)
+
+    starts = jnp.asarray(rng.integers(3, 100, b), jnp.int32)
+    kw = dict(eos_token_id=8, cfg=cfg, max_new_tokens=6,
+              compute_dtype=jnp.float32)
+    toks_ref, num_ref = decoding.generate_batched(
+        params, batched_cache(), starts, jnp.zeros(b, jnp.int32), **kw
+    )
+
+    mesh = meshlib.make_mesh(8, dp=8, fsdp=1, tp=1)
+    spec = lambda x: NamedSharding(
+        mesh, P(meshlib.DP, *([None] * (x.ndim - 1)))
+    )
+    sharded = jax.tree.map(
+        lambda x: jax.device_put(x, spec(x)), batched_cache()
+    )
+    toks_dp, num_dp = decoding.generate_batched(
+        params, sharded, jax.device_put(starts, spec(starts)),
+        jax.device_put(jnp.zeros(b, jnp.int32), spec(starts)), **kw
+    )
+    np.testing.assert_array_equal(np.asarray(toks_dp), np.asarray(toks_ref))
+    np.testing.assert_array_equal(np.asarray(num_dp), np.asarray(num_ref))
+
+
+def test_quantized_kv_cache_close(rng):
+    """int8 KV (per-position-per-head absmax scales) tracks the bf16/f32
+    cache closely at the logit level and runs the full generate loop."""
+    from g2vlm_tpu.config import tiny_test_config
+    from g2vlm_tpu.inference import decoding
+
+    cfg = tiny_test_config().llm
+    params = jg.init_params(tiny_test_config(), jax.random.PRNGKey(0),
+                            dtype=jnp.float32)["llm"]
+    L, kvh, hd = cfg.num_hidden_layers, cfg.num_key_value_heads, cfg.head_dim
+    pre = {
+        "k": jnp.asarray(rng.standard_normal((L, 23, kvh, hd)), jnp.float32),
+        "v": jnp.asarray(rng.standard_normal((L, 23, kvh, hd)), jnp.float32),
+    }
+    c_f32 = decoding.fill_cache(
+        decoding.make_cache(cfg, 64, dtype=jnp.float32), pre, 23
+    )
+    c_i8 = decoding.fill_cache(
+        decoding.make_cache(cfg, 64, dtype=jnp.float32, quantized=True),
+        pre, 23,
+    )
+    assert c_i8.k.dtype == jnp.int8 and c_i8.k_scale.shape == (L, 64, kvh)
+    l_f32, _ = decoding.decode_step(
+        params, c_f32, jnp.asarray(5), jnp.asarray(23), cfg, jnp.float32
+    )
+    l_i8, _ = decoding.decode_step(
+        params, c_i8, jnp.asarray(5), jnp.asarray(23), cfg, jnp.float32
+    )
+    err = float(jnp.max(jnp.abs(l_i8 - l_f32)))
+    span = float(jnp.max(l_f32) - jnp.min(l_f32))
+    assert err < 0.05 * span, (err, span)
+    toks, n = decoding.generate(
+        params, c_i8, jnp.asarray(5), jnp.asarray(23), eos_token_id=8,
+        cfg=cfg, max_new_tokens=6, compute_dtype=jnp.float32,
+    )
+    assert np.isfinite(np.asarray(toks)).all() and int(n) > 0

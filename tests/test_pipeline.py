@@ -45,13 +45,15 @@ def test_recon_pipeline_and_ply(pipe, tmp_path, rng):
 def test_generate_deterministic_greedy(pipe):
     cfg = pipe.cfg.llm
     llm = pipe.params["llm"]
-    cache = decoding.make_cache(cfg, 64, dtype=jnp.float32)
+    # generate() donates (consumes) its cache — build one per call
     toks1, n1 = decoding.generate(
-        llm, cache, jnp.asarray(5), jnp.asarray(0), eos_token_id=8, cfg=cfg,
+        llm, decoding.make_cache(cfg, 64, dtype=jnp.float32),
+        jnp.asarray(5), jnp.asarray(0), eos_token_id=8, cfg=cfg,
         max_new_tokens=6, compute_dtype=jnp.float32,
     )
     toks2, n2 = decoding.generate(
-        llm, cache, jnp.asarray(5), jnp.asarray(0), eos_token_id=8, cfg=cfg,
+        llm, decoding.make_cache(cfg, 64, dtype=jnp.float32),
+        jnp.asarray(5), jnp.asarray(0), eos_token_id=8, cfg=cfg,
         max_new_tokens=6, compute_dtype=jnp.float32,
     )
     np.testing.assert_array_equal(np.asarray(toks1), np.asarray(toks2))
@@ -60,9 +62,9 @@ def test_generate_deterministic_greedy(pipe):
 def test_generate_sampling_respects_temperature(pipe):
     cfg = pipe.cfg.llm
     llm = pipe.params["llm"]
-    cache = decoding.make_cache(cfg, 64, dtype=jnp.float32)
     outs = set()
     for seed in range(3):
+        cache = decoding.make_cache(cfg, 64, dtype=jnp.float32)
         toks, _ = decoding.generate(
             llm, cache, jnp.asarray(5), jnp.asarray(0), eos_token_id=8,
             cfg=cfg, max_new_tokens=6, do_sample=True, temperature=5.0,
