@@ -76,6 +76,12 @@ def init_params(cfg: G2VLMConfig, key: jax.Array, dtype=jnp.float32) -> Dict:
             params["conf_head"] = pi3_heads.init_pts3d_params(
                 next(ks), cfg.pi3.point_out_dim, cfg.dino_patch_size, 1
             )
+            # frozen SegFormer for sky supervision (reference Pi3Loss owns it
+            # as self.point_loss.segformer, pi3_loss.py:55-65; here it lives
+            # in the param tree — freeze_labels pins it to set_to_zero)
+            from . import segformer
+
+            params["segformer"] = segformer.init_params(next(ks))
     if cfg.visual_und:
         from . import qwen_vit
 
@@ -133,6 +139,19 @@ def params_from_torch(state_dict, cfg: G2VLMConfig) -> Dict:
             )
             params["conf_head"] = pi3_heads.pts3d_params_from_torch(
                 state_dict, prefix="conf_head."
+            )
+        seg_prefix = "Pi3Loss.point_loss.segformer."
+        if cfg.train_conf_pi3 and any(
+            k.startswith(seg_prefix) for k in state_dict
+        ):
+            # the reference checkpoints the frozen sky segmenter under the
+            # loss module (self.Pi3Loss.point_loss.segformer, g2vlm.py:207,
+            # pi3_loss.py:55-65) — consume those keys instead of dropping
+            # them so conf training has the real supervision source
+            from . import segformer
+
+            params["segformer"] = segformer.params_from_torch(
+                state_dict, prefix=seg_prefix
             )
     if cfg.visual_und and any(k.startswith("vit_model.") for k in state_dict):
         from . import qwen_vit

@@ -211,3 +211,80 @@ def params_from_torch(state_dict, cfg: SegformerConfig = SegformerConfig(), pref
     head["pred"] = conv("decode_head.linear_pred")
     params["head"] = head
     return params
+
+
+def init_params(
+    key: jax.Array, cfg: SegformerConfig = SegformerConfig()
+) -> Dict:
+    """Random init with the exact pytree layout of params_from_torch — used
+    when training starts without the reference's frozen
+    segformer.b0.512x512.ade.160k.pth (pi3_loss.py:55-65); load real weights
+    for reference-equivalent sky supervision."""
+    keys = iter(jax.random.split(key, 256))
+
+    def lin(din, dout):
+        w = jax.random.normal(next(keys), (din, dout), jnp.float32)
+        return {"w": w * (din ** -0.5), "b": jnp.zeros((dout,), jnp.float32)}
+
+    def conv(cout, cin, kh, kw, bias=True):
+        fan = cin * kh * kw
+        p = {
+            "w": jax.random.normal(
+                next(keys), (cout, cin, kh, kw), jnp.float32
+            ) * (fan ** -0.5)
+        }
+        p["b"] = jnp.zeros((cout,), jnp.float32) if bias else None
+        return p
+
+    def norm(d):
+        return {"w": jnp.ones((d,), jnp.float32), "b": jnp.zeros((d,), jnp.float32)}
+
+    params: Dict = {}
+    in_ch = 3
+    for si in range(4):
+        e = cfg.embed_dims[si]
+        p = cfg.patch_sizes[si]
+        sp = {
+            "patch": conv(e, in_ch, p, p),
+            "patch_norm": norm(e),
+            "norm": norm(e),
+        }
+        for li in range(cfg.depths[si]):
+            eh = e * cfg.mlp_ratios[si]
+            lp = {
+                "norm1": norm(e),
+                "attn": {"q": lin(e, e), "kv": lin(e, 2 * e), "proj": lin(e, e)},
+                "norm2": norm(e),
+                "mlp": {
+                    "fc1": lin(e, eh),
+                    "dw": {
+                        "w": jax.random.normal(
+                            next(keys), (eh, 1, 3, 3), jnp.float32
+                        ) * (9 ** -0.5),
+                        "b": jnp.zeros((eh,), jnp.float32),
+                    },
+                    "fc2": lin(eh, e),
+                },
+            }
+            if cfg.sr_ratios[si] > 1:
+                sr = cfg.sr_ratios[si]
+                lp["attn"]["sr"] = conv(e, e, sr, sr)
+                lp["attn"]["sr_norm"] = norm(e)
+            sp[f"block{li}"] = lp
+        params[f"stage{si}"] = sp
+        in_ch = e
+
+    dd = cfg.decoder_dim
+    head = {
+        f"linear_c{i + 1}": lin(cfg.embed_dims[i], dd) for i in range(4)
+    }
+    head["fuse"] = conv(dd, 4 * dd, 1, 1, bias=False)
+    head["fuse_bn"] = {
+        "w": jnp.ones((dd,), jnp.float32),
+        "b": jnp.zeros((dd,), jnp.float32),
+        "mean": jnp.zeros((dd,), jnp.float32),
+        "var": jnp.ones((dd,), jnp.float32),
+    }
+    head["pred"] = conv(cfg.num_classes, dd, 1, 1)
+    params["head"] = head
+    return params

@@ -51,8 +51,16 @@ class _RecordingStateDict:
         return len(self._sd)
 
 
-# Checkpoint keys legitimately not consumed by the model mapper.
-_IGNORED_PREFIXES = ("Pi3Loss.",)  # frozen loss-module buffers (segformer)
+def _ignorable(key: str, cfg: G2VLMConfig) -> bool:
+    """Checkpoint keys legitimately not consumed by the model mapper."""
+    if key.endswith("num_batches_tracked"):
+        return True  # BN step counters — no numeric role at inference
+    if not cfg.train_conf_pi3 and key.startswith("Pi3Loss."):
+        # the frozen sky segmenter under the loss module is only needed for
+        # conf training; with train_conf_pi3=True params_from_torch consumes
+        # Pi3Loss.point_loss.segformer.* (g2vlm.py) so nothing is dropped
+        return True
+    return False
 
 
 def load_checkpoint(
@@ -75,8 +83,7 @@ def load_checkpoint(
     rec = _RecordingStateDict(sd)
     params = jg.params_from_torch(rec, cfg)
     unknown = sorted(
-        k for k in sd
-        if k not in rec.used and not k.startswith(_IGNORED_PREFIXES)
+        k for k in sd if k not in rec.used and not _ignorable(k, cfg)
     )
     if unknown:
         raise KeyError(
@@ -98,9 +105,24 @@ def audit_keys(state_dict: Dict, cfg: G2VLMConfig) -> Dict:
         missing.append(str(e.args[0]))
     unknown = sorted(
         k for k in state_dict
-        if k not in rec.used and not k.startswith(_IGNORED_PREFIXES)
+        if k not in rec.used and not _ignorable(k, cfg)
     )
     return {"unknown": unknown, "missing": missing}
+
+
+def load_segformer_pth(path: str) -> Dict:
+    """Standalone loader for the reference's frozen sky segmenter weights
+    (segformer.b0.512x512.ade.160k.pth, a torch pickle holding
+    {'state_dict': {backbone.* / decode_head.*}} — reference
+    prepare_segformer, pi3_loss.py:55-61). Returns params for
+    models/segformer.py, suitable for params['segformer']."""
+    import torch
+
+    from .models import segformer
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    sd = blob.get("state_dict", blob)
+    return segformer.params_from_torch(sd)
 
 
 def init_moe_from_dense(params: Dict) -> Dict:

@@ -259,3 +259,32 @@ def test_conf_loss_with_sky_masks(rng):
     assert "local_conf_loss" in details and np.isfinite(float(details["local_conf_loss"]))
     assert float(optax_global_norm(grads["conf_decoder"])) > 0
     assert float(optax_global_norm(grads["conf_head"])) > 0
+
+
+def test_conf_loss_in_program_sky_prediction(rng):
+    """train_conf_pi3 with NO precomputed sky masks: the trainer predicts
+    them in-program from the frozen SegFormer now created by init_params
+    (reference runs it inside the loss under no_grad, pi3_loss.py:62-65,
+    146-163) — the round-2 gap where this branch was dead in real runs."""
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_test_config(), train_conf_pi3=True)
+    params = jg.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    assert "segformer" in params
+
+    tb = _to_train_batch(_pack_joint(rng))  # sky_masks=None
+    assert tb.sky_masks is None
+
+    def loss_fn(p):
+        return trainer.train_forward(p, tb, cfg, compute_dtype=jnp.float32)
+
+    (total, details), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(total))
+    assert np.isfinite(float(details["local_conf_loss"]))
+    assert float(optax_global_norm(grads["conf_decoder"])) > 0
+    # the sky supervisor is frozen: stop_gradient + freeze label
+    assert float(optax_global_norm(grads["segformer"])) == 0
+    labels = trainer.freeze_labels(params, False, False)
+    assert all(
+        l == "frozen" for l in jax.tree.leaves(labels["segformer"])
+    )

@@ -44,6 +44,14 @@ def parse_args():
     ap.add_argument("--max_vit_patches", type=int, default=0,
                     help="fixed ViT patch-row slots per pack (0 = no vit "
                          "branch; required >0 for joint recon+und data)")
+    ap.add_argument("--train_conf", action="store_true",
+                    help="train the Pi3 confidence head with sky-gated BCE "
+                    "(reference train_conf_pi3, pi3_loss.py:146-163); the "
+                    "frozen SegFormer supervises from --segformer_pth, the "
+                    "checkpoint's Pi3Loss.* keys, or random init")
+    ap.add_argument("--segformer_pth", type=str, default=None,
+                    help="reference segformer.b0.512x512.ade.160k.pth for "
+                    "real sky supervision")
     ap.add_argument("--freeze_und", action="store_true",
                     help="freeze the und expert + semantic ViT")
     ap.add_argument("--freeze_recon", action="store_true",
@@ -186,6 +194,10 @@ def main():
         if args.tiny
         else G2VLMConfig(visual_und=args.max_vit_patches > 0)
     )
+    if args.train_conf:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, train_conf_pi3=True)
 
     n_dev = len(jax.devices())
     fsdp = n_dev // (args.dp * args.tp)
@@ -197,12 +209,39 @@ def main():
         from g2vlm_tpu.weights import load_checkpoint, init_moe_from_dense
         from g2vlm_tpu.data.tokenizer import load_tokenizer
 
-        params, cfg = load_checkpoint(args.model_path)
+        ckpt_cfg = G2VLMConfig.from_checkpoint_dir(
+            args.model_path, train_conf_pi3=args.train_conf
+        )
+        params, cfg = load_checkpoint(args.model_path, cfg=ckpt_cfg)
         if args.bootstrap_moe:
             params = init_moe_from_dense(params)
         tokenizer, new_token_ids, _ = load_tokenizer(args.model_path)
     else:
         params = jg.init_params(cfg, jax.random.PRNGKey(args.seed), jnp.float32)
+    if cfg.train_conf_pi3:
+        # fill any conf pieces the checkpoint lacked (an un-conf-trained
+        # reference ckpt has no conf_decoder/conf_head/Pi3Loss.* keys)
+        from g2vlm_tpu.models import pi3_heads, segformer as segf
+
+        ks = iter(jax.random.split(jax.random.PRNGKey(args.seed + 7), 3))
+        if "conf_decoder" not in params:
+            params["conf_decoder"] = pi3_heads.init_decoder_params(
+                cfg.pi3, next(ks), cfg.llm.hidden_size, cfg.pi3.point_out_dim
+            )
+            params["conf_head"] = pi3_heads.init_pts3d_params(
+                next(ks), cfg.pi3.point_out_dim, cfg.dino_patch_size, 1
+            )
+        if args.segformer_pth:
+            from g2vlm_tpu.weights import load_segformer_pth
+
+            params["segformer"] = load_segformer_pth(args.segformer_pth)
+            logger.info(f"segformer weights from {args.segformer_pth}")
+        elif "segformer" not in params:
+            params["segformer"] = segf.init_params(next(ks))
+            logger.info(
+                "WARNING: no segformer weights (checkpoint or "
+                "--segformer_pth) — sky supervision uses RANDOM weights"
+            )
     params, _ = meshlib.shard_params(params, mesh)
 
     schedule = optax.warmup_cosine_decay_schedule(
