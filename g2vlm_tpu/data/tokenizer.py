@@ -34,3 +34,24 @@ def load_tokenizer(path: str) -> Tuple[object, Dict[str, int], int]:
         end_of_image=ids["<|vision_end|>"],
     )
     return tokenizer, new_token_ids, num_added
+
+
+# the reference derives the decode start token by encoding this template and
+# taking the LAST id (g2vlm.py:1046-1052) — with the production Qwen2 vocab
+# that is the trailing '\n' (id 198)
+START_TOKEN_TEMPLATE = (
+    "<|im_start|>user\\your text<|im_end|>\n<|im_start|>assistant\n"
+)
+
+
+def derive_start_token(tokenizer, new_token_ids: Dict[str, int]) -> int:
+    """Decode start token per reference prepare_start_tokens
+    (g2vlm.py:1042-1068): last id of the fixed chat template encoded WITHOUT
+    special tokens; tokenizer-less runs fall back to the eos/pad ids the
+    reference uses."""
+    if tokenizer is None:
+        return new_token_ids["eos_token_id"]
+    ids = tokenizer.encode(START_TOKEN_TEMPLATE, add_special_tokens=False)
+    if ids:
+        return ids[-1]
+    return getattr(tokenizer, "eos_token_id", None) or 151643

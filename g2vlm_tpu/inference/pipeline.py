@@ -99,19 +99,10 @@ class G2VLMPipeline:
 
     def _start_token(self) -> int:
         """Decode start token per reference prepare_start_tokens
-        (g2vlm.py:1042-1068): last id of the fixed chat template encoded
-        WITHOUT special tokens (the template's trailing newline -> for the
-        Qwen2 tokenizer this is id 198, '\\n'); tokenizer-less runs fall back
-        to the eos/pad ids the reference uses."""
-        template = (
-            "<|im_start|>user\\your text<|im_end|>\n<|im_start|>assistant\n"
-        )
-        if self.tokenizer is None:
-            return self.new_token_ids["eos_token_id"]
-        ids = self.tokenizer.encode(template, add_special_tokens=False)
-        if ids:
-            return ids[-1]
-        return getattr(self.tokenizer, "eos_token_id", None) or 151643
+        (g2vlm.py:1042-1068) — see data/tokenizer.py:derive_start_token."""
+        from ..data.tokenizer import derive_start_token
+
+        return derive_start_token(self.tokenizer, self.new_token_ids)
 
     def _make_recon_fn(self, shape_key):
         """One jitted recon program per (n_views, H, W, prompt). The prefill

@@ -44,7 +44,7 @@ class FakeVitTransform:
         return patches, grids
 
 
-def _ref_g2vlm():
+def _ref_g2vlm(CFG=CFG):
     from modeling.g2vlm.qwen2vl import Qwen2VLConfig, Qwen2VLForCausalLM
     from modeling.qwen2vl.configuration_qwen2_vl import Qwen2VLVisionConfig
     from modeling.qwen2vl.modeling_qwen2_vl import (
@@ -185,3 +185,50 @@ def test_chat_mixed_vit_grids_token_parity(rng):
     got_tokens = [int(x) for x in got.split()]
 
     assert got_tokens == ref_tokens
+
+
+@pytest.mark.slow
+def test_chat_real_bpe_token_parity(rng, tmp_path):
+    """The genuine-BPE variant (VERDICT r2 #4): both sides tokenize the chat
+    with a REAL byte-level BPE (tests/bpe_fixture.py) — template encoding,
+    add_special_tokens ids and the start-token derivation all flow through
+    actual Qwen2Tokenizer code instead of a hash stub; compares the decoded
+    answer strings."""
+    import dataclasses
+
+    from PIL import Image
+
+    from bpe_fixture import train_tiny_bpe
+    from g2vlm_tpu.data.tokenizer import load_tokenizer
+
+    bpe_dir = train_tiny_bpe(str(tmp_path / "bpe"))
+    tok, new_token_ids, _ = load_tokenizer(bpe_dir)
+    vocab = len(tok)
+    # model vocab = tokenizer vocab so every sampled id decodes cleanly
+    cfg = dataclasses.replace(
+        CFG, llm=dataclasses.replace(CFG.llm, vocab_size=vocab)
+    )
+
+    model = _ref_g2vlm(cfg)
+    img = Image.fromarray((rng.random((84, 112, 3)) * 255).astype(np.uint8))
+    question = "How far is the red point from the blue point?"
+
+    with torch_ref.fp32_casts():
+        ref_out = model.chat_with_recon(
+            tokenizer=tok,
+            new_token_ids=dict(new_token_ids),
+            image_transform=FakeVitTransform(),
+            dino_image_transform=None,
+            images=[img],
+            prompt=question,
+            max_length=MAX_NEW + 1,
+            do_sample=False,
+        )
+
+    params = jg.params_from_torch(model.state_dict(), cfg)
+    pipe = G2VLMPipeline(
+        params, cfg, tokenizer=tok, new_token_ids=dict(new_token_ids),
+        compute_dtype=jnp.float32,
+    )
+    got = pipe.chat([img], question, max_new_tokens=MAX_NEW)
+    assert got == ref_out
