@@ -148,6 +148,11 @@ def _segment_attention_chunked(q, k, v, q_info, kv_info, scale, kv_chunk):
     return jnp.swapaxes(out, 0, 1).astype(v.dtype)
 
 
+# dryrun/test hook: run the Pallas kernel via pallas_call(interpret=True)
+# so the kernel logic executes under virtual CPU meshes (Mosaic is TPU-only)
+FORCE_PALLAS_INTERPRET = False
+
+
 def segment_attention(
     q: jax.Array,  # (S_q, num_heads, head_dim)
     k: jax.Array,  # (S_kv, num_kv_heads, head_dim)
@@ -179,7 +184,10 @@ def segment_attention(
         try:
             from .flash_attention import flash_segment_attention
 
-            return flash_segment_attention(q, k, v, q_info, kv_info, scale=scale)
+            return flash_segment_attention(
+                q, k, v, q_info, kv_info, scale=scale,
+                interpret=FORCE_PALLAS_INTERPRET,
+            )
         except ImportError:
             impl = "chunked"
     if impl == "dense":
