@@ -101,12 +101,14 @@ def _attend(q, k_all, v_all, k_scale, v_scale, visible, hd, tp_axis):
     the context shards with one pmax + psum (softmax is shift-invariant)."""
     kf = k_all.astype(jnp.float32)
     vf = v_all.astype(jnp.float32)
-    if k_scale is not None:
-        kf = kf * k_scale[..., None]
-        vf = vf * v_scale[..., None]
     logits = jnp.einsum(
         "ngd,cnd->ngc", q, kf, preferred_element_type=jnp.float32
     ) * (hd ** -0.5)
+    if k_scale is not None:
+        # dequant folded AFTER the GEMM: the per-(position, head) scale is a
+        # row scaling of the logits — (KVH, G, C) elementwise instead of
+        # (C, KVH, HD), i.e. head_dim x less VPU work than scaling K itself
+        logits = logits * k_scale.T[:, None, :]
     logits = jnp.where(visible[None, None, :], logits, -jnp.inf)
     m = jnp.max(logits, axis=-1)  # (KVH, G)
     if tp_axis is not None:
@@ -115,8 +117,9 @@ def _attend(q, k_all, v_all, k_scale, v_scale, visible, hd, tp_axis):
     p = jnp.exp(logits - jnp.where(jnp.isfinite(m), m, 0.0)[..., None])
     p = jnp.where(visible[None, None, :], p, 0.0)
     l = jnp.sum(p, axis=-1)  # (KVH, G)
+    pv = p if v_scale is None else p * v_scale.T[:, None, :]
     acc = jnp.einsum(
-        "ngc,cnd->ngd", p, vf, preferred_element_type=jnp.float32
+        "ngc,cnd->ngd", pv, vf, preferred_element_type=jnp.float32
     )
     if tp_axis is not None:
         l = jax.lax.psum(l, tp_axis)

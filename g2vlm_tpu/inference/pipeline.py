@@ -90,7 +90,12 @@ class G2VLMPipeline:
     def _encode_text(self, text: str, add_bos: bool = False) -> List[int]:
         if self.tokenizer is None:
             # Deterministic fake ids for weight-free smoke/bench runs.
-            ids = [(hash(w) % 5000) + 100 for w in text.split()]
+            # (crc32, not hash(): str hash is randomized per process)
+            import zlib
+
+            ids = [
+                (zlib.crc32(w.encode()) % 5000) + 100 for w in text.split()
+            ]
         else:
             ids = self.tokenizer.encode(text)
         if add_bos:
@@ -241,6 +246,7 @@ class G2VLMPipeline:
         temperature: float = 1.0,
         new_width: int = 518,
         seed: int = 0,
+        return_info: bool = False,
     ) -> str:
         from ..data.vit_preprocess import preprocess_vit_image
         from . import decoding
@@ -311,5 +317,13 @@ class G2VLMPipeline:
         if len(ids) and ids[-1] == self.new_token_ids["eos_token_id"]:
             ids = ids[:-1]
         if self.tokenizer is None:
-            return " ".join(map(str, ids.tolist()))
-        return self.tokenizer.decode(ids.tolist())
+            text = " ".join(map(str, ids.tolist()))
+        else:
+            text = self.tokenizer.decode(ids.tolist())
+        if return_info:
+            return text, {
+                "num_tokens": int(num),
+                "prefill_len": int(prefill.seq_len),
+                "n_views": int(n),
+            }
+        return text

@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""End-to-end chat benchmarks — BASELINE.md configs 2 and 4.
+
+Config 2: single-image spatial QA (examples/25_0.jpg + the reference
+inference_chat.py default depth question).
+Config 4: interleaved reasoning — N-view geo prefill (geometry natively in
+context) + per-image ViT prefill + question + decode (reference
+chat_with_recon, g2vlm.py:1305-1410).
+
+Reports prefill-to-first-token (TTFT) and steady decode tok/s through the
+REAL serving pipeline (G2VLMPipeline.chat), random 2B weights in bf16.
+
+  python scripts/bench_chat.py [--views 32] [--new_tokens 64]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def bench_one(pipe, images, prompt, n_new, label):
+    # warm compile (prefill program + decode program for this shape)
+    t0 = time.perf_counter()
+    _, info = pipe.chat(images, prompt, max_new_tokens=n_new, return_info=True)
+    compile_s = time.perf_counter() - t0
+
+    # TTFT: prefill + 1 decode step
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        pipe.chat(images, prompt, max_new_tokens=1, return_info=True)
+        ts.append(time.perf_counter() - t0)
+    ttft = min(ts)
+
+    # full decode: tok/s from the marginal time over the TTFT run
+    ts = []
+    nums = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _, inf = pipe.chat(images, prompt, max_new_tokens=n_new, return_info=True)
+        ts.append(time.perf_counter() - t0)
+        nums.append(inf["num_tokens"])
+    total = min(ts)
+    n_gen = max(min(nums), 1)
+    tps = max(n_gen - 1, 1) / max(total - ttft, 1e-9)
+    print(
+        f"{label}: prefill_len={info['prefill_len']} views={info['n_views']} "
+        f"TTFT={ttft*1e3:.0f} ms  decode={tps:.1f} tok/s "
+        f"({n_gen} toks, total {total*1e3:.0f} ms, first-call compile "
+        f"{compile_s:.0f}s)",
+        flush=True,
+    )
+    return dict(label=label, ttft_s=ttft, tok_s=tps,
+                prefill_len=info["prefill_len"])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--views", type=int, default=32,
+                    help="views for the interleaved-reasoning config")
+    ap.add_argument("--new_tokens", type=int, default=64)
+    ap.add_argument("--configs", type=str, default="2,4")
+    ap.add_argument("--examples", type=str,
+                    default="/root/reference/examples")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from g2vlm_tpu.utils.jax_cache import enable as enable_cache, honor_platform_env
+
+    honor_platform_env()
+    enable_cache()
+
+    from g2vlm_tpu.config import G2VLMConfig
+    from g2vlm_tpu.inference.pipeline import G2VLMPipeline
+    from g2vlm_tpu.models import g2vlm as jg
+
+    cfg = G2VLMConfig(visual_und=True)
+    params = jg.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    params = jax.tree.map(jax.device_put, params)
+    jax.block_until_ready(params)
+    # reference special-token ids (Qwen2 vocab, data_utils.py:278-313)
+    ids = dict(bos_token_id=151644, eos_token_id=151645,
+               start_of_image=151652, end_of_image=151653)
+    pipe = G2VLMPipeline(
+        params, cfg, tokenizer=None, new_token_ids=ids,
+        compute_dtype=jnp.bfloat16,
+    )
+
+    configs = args.configs.split(",")
+    if "2" in configs:
+        img = os.path.join(args.examples, "25_0.jpg")
+        # the reference inference_chat.py default question
+        q = ("The red point in the image is marked as point A, and the blue "
+             "point is marked as point B. Which point is closer to the "
+             "camera? Answer A or B.")
+        bench_one(pipe, [img], q, args.new_tokens,
+                  "config2 single-image QA")
+    if "4" in configs:
+        import glob
+
+        frames = sorted(glob.glob(os.path.join(args.examples, "dl3dv", "*")))
+        views = [frames[i % len(frames)] for i in range(args.views)]
+        q = "Describe the spatial layout of this scene."
+        bench_one(pipe, views, q, args.new_tokens,
+                  f"config4 interleaved {args.views}-view chat")
+
+
+if __name__ == "__main__":
+    main()

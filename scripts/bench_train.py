@@ -1,0 +1,222 @@
+#!/usr/bin/env python
+"""Full-scale training-step benchmark on one chip (VERDICT r2 #6).
+
+The real thing: 28-layer 2B MoT + DINOv2-L + Qwen ViT branch, a 36864-token
+pack (reference max_num_tokens, dataset_base.py:64-66), remat on the layer
+scan, Pallas flash fwd+bwd. Reports ms/step, tokens/s/chip and an MFU
+estimate with the stage split.
+
+Single-chip memory note: a 2.4B AdamW step (params+grads+m+v) needs ~25GB
+and belongs on an fsdp-sharded mesh (params/device scales 1/N — the driver
+dryrun proves that path). Here the fwd+bwd (the compute that defines MFU) is
+timed at full scale, and the AdamW+EMA update is timed on a tree slice and
+scaled linearly (it is purely elementwise/bandwidth-bound, so the
+extrapolation is exact to first order); both numbers are reported separately.
+
+  python scripts/bench_train.py [--tokens 36864] [--views 40]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tokens", type=int, default=36864)
+    ap.add_argument("--views", type=int, default=40)
+    ap.add_argument("--hw", type=int, nargs=2, default=(294, 518))
+    ap.add_argument("--no_vit", action="store_true")
+    ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny config smoke (CPU; validates plumbing only)")
+    args = ap.parse_args()
+    if args.tiny:
+        args.tokens, args.views, args.hw = 256, 2, (56, 56)
+
+    import jax
+    import jax.numpy as jnp
+
+    from g2vlm_tpu.utils.jax_cache import enable as enable_cache, honor_platform_env
+
+    honor_platform_env()
+    enable_cache()
+
+    import optax
+
+    from g2vlm_tpu.config import G2VLMConfig, tiny_test_config
+    from g2vlm_tpu.models import g2vlm as jg
+    from g2vlm_tpu.train import trainer
+
+    cfg = (tiny_test_config(visual_und=not args.no_vit) if args.tiny
+           else G2VLMConfig(visual_und=not args.no_vit))
+    params = jg.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    params = jax.tree.map(jax.device_put, params)
+    jax.block_until_ready(params)
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    print(f"params: {n_params/1e9:.2f}B "
+          f"({sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))/1e9:.1f} GB bf16)",
+          flush=True)
+
+    # ---- build one full-size packed batch ----
+    h, w = args.hw
+    p = cfg.dino_patch_size
+    hp, wp = h // p, w // p
+    hw_tok = hp * wp
+    n = args.views
+    rng = np.random.default_rng(0)
+
+    b = jg.SequenceBuilder(151652, 151653)
+    b.add_text([151644] + list(rng.integers(100, 5000, 6)))
+    b.add_dino_images(n, hp, wp)
+    vit_payload = {}
+    if not args.no_vit:
+        from g2vlm_tpu.models.qwen_vit import pack_views
+
+        # one 768-budget semantic image (grid 2x54x54 -> 729 merged tokens)
+        gh = gw = 4 if args.tiny else 54
+        n_pat = 2 * gh * gw // 2  # temporal_patch 2 folded into patch rows
+        pats = rng.standard_normal(
+            (gh * gw, cfg.vit.in_channels * 2 * cfg.vit.patch_size ** 2)
+        ).astype(np.float32)
+        view = {"patches": pats, "grid_thw": (1, gh, gw)}
+        vit_patches, vit_coords, vit_seg, n_merged = pack_views(
+            [view], pad_to=gh * gw
+        )
+        b.add_vit_image(gh // 2, gw // 2)
+        vit_payload = dict(
+            vit_patches=jnp.asarray(vit_patches),
+            vit_coords=jnp.asarray(vit_coords),
+            vit_seg=jnp.asarray(vit_seg),
+        )
+    q_ids = list(rng.integers(100, 5000, 24))
+    b.add_text(q_ids)
+    assert b.curr <= args.tokens, (b.curr, args.tokens)
+    pre = b.build(pad_to=args.tokens)
+    print(f"pack: {pre.seq_len} real tokens (pad to {args.tokens}), "
+          f"{n} views @ {h}x{w}", flush=True)
+
+    n_ce = 16
+    ce_idx = np.arange(pre.seq_len - n_ce, pre.seq_len)
+    batch = trainer.TrainBatch(
+        text_ids=jnp.asarray(pre.text_ids, jnp.int32),
+        text_indexes=jnp.asarray(pre.text_indexes, jnp.int32),
+        dino_indexes=jnp.asarray(pre.dino_indexes, jnp.int32),
+        vit_indexes=jnp.asarray(
+            pre.vit_indexes if not args.no_vit else np.zeros((0,), np.int32),
+            jnp.int32,
+        ),
+        is_geo=jnp.asarray(pre.is_geo),
+        position_ids=jnp.asarray(pre.position_ids),
+        doc_id=jnp.asarray(pre.doc_id),
+        fn_id=jnp.asarray(pre.fn_id),
+        noise_id=jnp.asarray(pre.noise_id),
+        pos=jnp.asarray(pre.pos),
+        ce_indexes=jnp.asarray(ce_idx, jnp.int32),
+        ce_labels=jnp.asarray(
+            rng.integers(0, cfg.llm.vocab_size, n_ce), jnp.int32
+        ),
+        ce_weights=jnp.ones((n_ce,), jnp.float32),
+        dino_images=jnp.asarray(
+            rng.standard_normal((n, 3, h, w)), jnp.float32
+        ),
+        world_points=jnp.asarray(
+            rng.standard_normal((1, n, h, w, 3)), jnp.float32
+        ),
+        point_masks=jnp.asarray(rng.random((1, n, h, w)) < 0.9),
+        extrinsics=jnp.asarray(
+            np.tile(np.eye(4, dtype=np.float32), (1, n, 1, 1))
+        ),
+        normal_batch_mask=jnp.ones((1,), bool),
+        **vit_payload,
+    )
+    jax.block_until_ready(jax.tree.leaves(batch))
+
+    # ---- fwd+bwd at full scale ----
+    def loss_fn(p):
+        total, details = trainer.train_forward(
+            p, batch, cfg, compute_dtype=jnp.bfloat16, attn_impl="auto",
+            remat=True,
+        )
+        return total, details
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+    t0 = time.perf_counter()
+    (loss, details), grads = grad_fn(params)
+    np.asarray(jax.tree.leaves(grads)[0].ravel()[0])
+    print(f"compile+first step: {time.perf_counter()-t0:.0f}s "
+          f"loss={float(loss):.3f}", flush=True)
+    ts = []
+    for _ in range(args.steps):
+        t0 = time.perf_counter()
+        (loss, details), grads = grad_fn(params)
+        np.asarray(jax.tree.leaves(grads)[0].ravel()[0])
+        ts.append(time.perf_counter() - t0)
+    fwd_bwd = min(ts)
+
+    # ---- optimizer+EMA on a tree slice, scaled (elementwise/bandwidth) ----
+    del grads
+    slice_tree = {"layers": params["llm"]["layers"]}
+    slice_n = sum(x.size for x in jax.tree.leaves(slice_tree))
+    opt = optax.adamw(1e-4, b1=0.9, b2=0.95, weight_decay=0.05)
+    opt_state = jax.jit(opt.init)(slice_tree)
+
+    @jax.jit
+    def opt_step(p, s, g, ema):
+        upd, s = opt.update(g, s, p)
+        p = optax.apply_updates(p, upd)
+        ema = jax.tree.map(lambda e, q: e * 0.9999 + q * 0.0001, ema, p)
+        return p, s, ema
+
+    g_slice = jax.tree.map(lambda x: x * 0.0, slice_tree)
+    ema = jax.tree.map(jnp.copy, slice_tree)
+    out = opt_step(slice_tree, opt_state, g_slice, ema)
+    jax.block_until_ready(out)
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = opt_step(slice_tree, opt_state, g_slice, ema)
+        np.asarray(jax.tree.leaves(out[0])[0].ravel()[0])
+        ts.append(time.perf_counter() - t0)
+    opt_t = min(ts) * (n_params / slice_n)
+
+    step = fwd_bwd + opt_t
+    toks_s = args.tokens / step
+
+    # MFU: fwd matmul FLOPs = 2 * active_params_in_path * S (SPLIT routing
+    # runs ONE expert per token) + attention 4*S^2*D*H_layers; bwd = 2x fwd.
+    s_real = pre.seq_len
+    d, L = cfg.llm.hidden_size, cfg.llm.num_hidden_layers
+    per_layer = (
+        d * d + 2 * d * (cfg.llm.num_key_value_heads * cfg.llm.head_dim)
+        + d * d + 3 * d * cfg.llm.intermediate_size
+    )
+    llm_flops = 2 * s_real * (L * per_layer + 2 * d * cfg.llm.vocab_size * 0)
+    attn_flops = 4 * s_real * s_real * d * L
+    dino_p = 0.3e9
+    dino_flops = 2 * (n * (hw_tok + 5)) * dino_p
+    heads_flops = 2 * (n * hw_tok) * 0.2e9
+    fwd_flops = llm_flops + attn_flops + dino_flops + heads_flops
+    total_flops = 3 * fwd_flops
+    mfu = total_flops / step / 197e12
+    print(
+        f"fwd+bwd {fwd_bwd*1e3:.0f} ms + optimizer/EMA {opt_t*1e3:.0f} ms "
+        f"(measured on {slice_n/1e9:.2f}B slice, scaled) = {step*1e3:.0f} ms/step",
+        flush=True,
+    )
+    print(
+        f"tokens/s/chip {toks_s:,.0f}  est. MFU {mfu*100:.0f}% "
+        f"(~{total_flops/1e12:.1f} TFLOP/step, v5e peak 197 TF bf16)",
+        flush=True,
+    )
+    print(f"details: { {k: round(float(v), 4) for k, v in details.items()} }",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
