@@ -92,13 +92,20 @@ def fill_cache(cache: KVCache, prefill_kv: Dict, valid_len) -> KVCache:
     return KVCache(k, v, ks, vs, jnp.asarray(valid_len, jnp.int32))
 
 
-def _attend(q, k_all, v_all, k_scale, v_scale, visible, hd, tp_axis):
-    """Softmax attention of one query token over a (local) cache shard.
+def _attend(q, k_all, v_all, k_scale, v_scale, visible, hd, tp_axis,
+            k_self, v_self, self_here):
+    """Softmax attention of one query token over a (local) cache shard PLUS
+    the token's own fresh K/V row (which is NOT yet in the cache — the cache
+    is read-only inside the layer scan; all layers' new rows are written with
+    one dynamic_update_slice per step outside it).
 
     q (KVH, G, HD) fp32; k_all/v_all (C_loc, KVH, HD); scales (C_loc, KVH)
-    or None; visible (C_loc,) bool. With tp_axis set this is the per-chip
-    body of flash-decoding: local max/sum statistics merge exactly across
-    the context shards with one pmax + psum (softmax is shift-invariant)."""
+    or None; visible (C_loc,) bool; k_self/v_self (KVH, HD) fp32; self_here
+    () bool — False on every chip but the position owner under tp, so the
+    psum counts the self term exactly once. With tp_axis set this is the
+    per-chip body of flash-decoding: local max/sum statistics merge exactly
+    across the context shards with one pmax + psum (softmax is
+    shift-invariant)."""
     kf = k_all.astype(jnp.float32)
     vf = v_all.astype(jnp.float32)
     logits = jnp.einsum(
@@ -110,17 +117,20 @@ def _attend(q, k_all, v_all, k_scale, v_scale, visible, hd, tp_axis):
         # (C, KVH, HD), i.e. head_dim x less VPU work than scaling K itself
         logits = logits * k_scale.T[:, None, :]
     logits = jnp.where(visible[None, None, :], logits, -jnp.inf)
-    m = jnp.max(logits, axis=-1)  # (KVH, G)
+    s_self = jnp.einsum("ngd,nd->ng", q, k_self) * (hd ** -0.5)  # (KVH, G)
+    s_self = jnp.where(self_here, s_self, -jnp.inf)
+    m = jnp.maximum(jnp.max(logits, axis=-1), s_self)  # (KVH, G)
     if tp_axis is not None:
         m = jax.lax.pmax(m, tp_axis)
-    # fully-invisible shards: m = -inf -> p = 0 contributions
-    p = jnp.exp(logits - jnp.where(jnp.isfinite(m), m, 0.0)[..., None])
+    # the self term is always visible somewhere, so m is finite
+    p = jnp.exp(logits - m[..., None])
     p = jnp.where(visible[None, None, :], p, 0.0)
-    l = jnp.sum(p, axis=-1)  # (KVH, G)
+    p_self = jnp.where(self_here, jnp.exp(s_self - m), 0.0)  # (KVH, G)
+    l = jnp.sum(p, axis=-1) + p_self
     pv = p if v_scale is None else p * v_scale.T[:, None, :]
     acc = jnp.einsum(
         "ngc,cnd->ngd", pv, vf, preferred_element_type=jnp.float32
-    )
+    ) + p_self[..., None] * v_self[:, None, :]
     if tp_axis is not None:
         l = jax.lax.psum(l, tp_axis)
         acc = jax.lax.psum(acc, tp_axis)
@@ -140,7 +150,14 @@ def decode_step(
 
     Inside shard_map with tp_axis set, cache leaves hold the LOCAL context
     shard (C_loc = C / n_tp, contiguous blocks in mesh-axis order) and
-    params are replicated; attention merges across chips (see _attend)."""
+    params are replicated; attention merges across chips (see _attend).
+
+    The layer scan reads the cache as xs slices (read-only) and attends over
+    [cached rows < length] + the fresh self row computed analytically; the
+    new K/V rows of ALL layers are collected as tiny scan outputs and written
+    with ONE dynamic_update_slice per step. No per-layer gather/scatter on
+    the (L, C, ...) buffers — that shape made XLA double-buffer the cache and
+    blew up batched compiles."""
     dt = compute_dtype
     nh, kvh, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     g = nh // kvh
@@ -154,23 +171,17 @@ def decode_step(
     if tp_axis is not None:
         shard = jax.lax.axis_index(tp_axis)
         offset = (shard * c_loc).astype(jnp.int32)
+        owns = (cur >= offset) & (cur < offset + c_loc)
     else:
         offset = jnp.zeros((), jnp.int32)
-    owns = (cur >= offset) & (cur < offset + c_loc)
+        owns = jnp.ones((), bool)
     local_pos = jnp.clip(cur - offset, 0, c_loc - 1)
-    visible = (jnp.arange(c_loc, dtype=jnp.int32) + offset) <= cur
+    # cache rows at the current position are stale — only strictly-older
+    # rows are visible; the current token's K/V enters via the self term
+    visible = (jnp.arange(c_loc, dtype=jnp.int32) + offset) < cur
 
-    def write_row(buf, row, idx):
-        """In-place row write at (layer, local_pos) iff this shard owns the
-        position; a row-level select keeps the non-owning case O(row)."""
-        row = row.reshape((1, 1) + row.shape).astype(buf.dtype)
-        old = jax.lax.dynamic_slice(buf, idx, row.shape)
-        new = jnp.where(owns, row, old)
-        return jax.lax.dynamic_update_slice(buf, new, idx)
-
-    def body(carry, xs):
-        x, ck, cv, cks, cvs = carry
-        lp, i = xs
+    def body(x, xs):
+        lp, k_all, v_all, ksc, vsc = xs
         res = x
         h = rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps)
         q = (
@@ -186,26 +197,14 @@ def decode_step(
             q = rms_norm(q.astype(jnp.float32), lp["q_norm"], cfg.rms_norm_eps)
             k = rms_norm(k.astype(jnp.float32), lp["k_norm"], cfg.rms_norm_eps)
         q, k = apply_mrope(q, k, cos, sin)
-        k_row, v_row = k[0], v[0]  # (KVH, HD)
-        if quantized:
-            kq, ksr = _quant(k_row)
-            vq, vsr = _quant(v_row)
-            ck = write_row(ck, kq, (i, local_pos, 0, 0))
-            cv = write_row(cv, vq, (i, local_pos, 0, 0))
-            cks = write_row(cks, ksr, (i, local_pos, 0))
-            cvs = write_row(cvs, vsr, (i, local_pos, 0))
-        else:
-            ck = write_row(ck, k_row.astype(ck.dtype), (i, local_pos, 0, 0))
-            cv = write_row(cv, v_row.astype(cv.dtype), (i, local_pos, 0, 0))
+        k_row = k[0].astype(jnp.float32)  # (KVH, HD)
+        v_row = v[0].astype(jnp.float32)
 
-        k_all = jax.lax.dynamic_index_in_dim(ck, i, 0, keepdims=False)
-        v_all = jax.lax.dynamic_index_in_dim(cv, i, 0, keepdims=False)
-        ksc = vsc = None
-        if quantized:
-            ksc = jax.lax.dynamic_index_in_dim(cks, i, 0, keepdims=False)
-            vsc = jax.lax.dynamic_index_in_dim(cvs, i, 0, keepdims=False)
         qg = q.reshape(kvh, g, hd).astype(jnp.float32)
-        attn = _attend(qg, k_all, v_all, ksc, vsc, visible, hd, tp_axis)
+        attn = _attend(
+            qg, k_all, v_all, ksc, vsc, visible, hd, tp_axis,
+            k_self=k_row, v_self=v_row, self_here=owns,
+        )
         attn = attn.reshape(1, nh * hd).astype(dt)
         x = res + attn @ lp["o"]["w"].astype(dt)
 
@@ -214,16 +213,41 @@ def decode_step(
         gate = h @ lp["mlp"]["gate"]["w"].astype(dt)
         up = h @ lp["mlp"]["up"]["w"].astype(dt)
         x = res + (jax.nn.silu(gate) * up) @ lp["mlp"]["down"]["w"].astype(dt)
-        return (x, ck, cv, cks, cvs), None
+        return x, (k_row, v_row)
 
-    L = cfg.num_hidden_layers
-    carry0 = (x, cache.k, cache.v, cache.k_scale, cache.v_scale)
-    (x, ck, cv, cks, cvs), _ = jax.lax.scan(
-        body, carry0, (params["layers"], jnp.arange(L))
-    )
+    xs = (params["layers"], cache.k, cache.v, cache.k_scale, cache.v_scale)
+    x, (k_rows, v_rows) = jax.lax.scan(body, x, xs)  # rows: (L, KVH, HD) f32
+
+    def write_rows(buf, rows, scales_buf):
+        """One in-place write of all layers' new rows at local_pos (a no-op
+        value-wise on shards that don't own the position)."""
+        if quantized:
+            qrows, srows = _quant(rows)
+            srows = jnp.where(owns, srows, _row_slice(scales_buf, local_pos))
+            scales_buf = jax.lax.dynamic_update_slice(
+                scales_buf, srows[:, None], (0, local_pos, 0)
+            )
+            rows = qrows
+        old = _row_slice(buf, local_pos)
+        rows = jnp.where(owns, rows.astype(buf.dtype), old)
+        buf = jax.lax.dynamic_update_slice(
+            buf, rows[:, None], (0, local_pos) + (0,) * (buf.ndim - 2)
+        )
+        return buf, scales_buf
+
+    ck, cks = write_rows(cache.k, k_rows, cache.k_scale)
+    cv, cvs = write_rows(cache.v, v_rows, cache.v_scale)
+
     h = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     logits = (h.astype(jnp.float32) @ params["lm_head"].astype(jnp.float32))[0]
     return logits, KVCache(ck, cv, cks, cvs, cache.length + 1)
+
+
+def _row_slice(buf, pos):
+    """buf (L, C, ...) -> the (L, ...) row at context position pos."""
+    sizes = (buf.shape[0], 1) + buf.shape[2:]
+    start = (0, pos) + (0,) * (buf.ndim - 2)
+    return jax.lax.dynamic_slice(buf, start, sizes)[:, 0]
 
 
 def _generate_loop(
