@@ -169,7 +169,16 @@ def encode(
     """Full encoder; returns patch tokens only (B, hp*wp, D), CLS+registers
     stripped (reference dinov2_model.py:354)."""
     x = embed(params, images, cfg).astype(compute_dtype)
-    b, s, d = x.shape
+    b, s_real, d = x.shape
+    # Run the WHOLE encoder at an 8-multiple row count (782 -> 784 for a
+    # 518x294 view): odd row counts make XLA thread (8,128)-tile relayout
+    # copies between every GEMM/residual/attention. Pad once, mask the pad
+    # keys in attention, slice once at the end — pad-row garbage (layer_norm
+    # of zeros = bias) never escapes its own rows.
+    s = -(-s_real // 8) * 8
+    valid_kv = s_real if s != s_real else None
+    if valid_kv is not None:
+        x = jnp.pad(x, ((0, 0), (0, s - s_real), (0, 0)))
     nh = cfg.num_attention_heads
     hd = cfg.head_dim
     eps = cfg.layer_norm_eps
@@ -192,7 +201,10 @@ def encode(
         k = lin(h1, lp["k"]).reshape(b, s, nh, hd)
         v = lin(h1, lp["v"]).reshape(b, s, nh, hd)
         if use_flash:
-            attn = flash_batched_attention(q, k, v)
+            attn = flash_batched_attention(q, k, v, valid_kv=valid_kv)
+        elif valid_kv is not None:
+            mask = jnp.arange(s) < valid_kv
+            attn = dense_attention(q, k, v, mask=mask[None, None, None, :])
         else:
             attn = dense_attention(q, k, v)
         attn = lin(attn.reshape(b, s, d), lp["o"])
@@ -206,4 +218,4 @@ def encode(
 
     x, _ = jax.lax.scan(layer, x, params["layers"])
     x = layer_norm(x, params["final_norm"]["w"], params["final_norm"]["b"], eps)
-    return x[:, 1 + cfg.num_register_tokens :]
+    return x[:, 1 + cfg.num_register_tokens : s_real]

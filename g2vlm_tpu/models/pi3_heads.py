@@ -86,12 +86,15 @@ def _use_flash(b, s, m=None):
     )
 
 
-def _attend(q, k, v):
-    # q, k, v: (B, S, H, D)
+def _attend(q, k, v, valid_kv=None):
+    # q, k, v: (B, S, H, D); keys >= valid_kv (pre-padded rows) are masked
     if _use_flash(q.shape[0], q.shape[1], k.shape[1]):
         from ..ops.flash_attention import flash_batched_attention
 
-        return flash_batched_attention(q, k, v)
+        return flash_batched_attention(q, k, v, valid_kv=valid_kv)
+    if valid_kv is not None and valid_kv < k.shape[1]:
+        mask = jnp.arange(k.shape[1]) < valid_kv  # (M,) -> (1, 1, 1, M)
+        return dense_attention(q, k, v, mask=mask[None, None, None, :])
     return dense_attention(q, k, v)
 
 
@@ -104,7 +107,7 @@ def _rope_mix(t, t_rot, cos, sin, dtype):
     return out.astype(dtype)
 
 
-def _self_attn(x, lp, cos, sin, num_heads, dtype):
+def _self_attn(x, lp, cos, sin, num_heads, dtype, valid_kv=None):
     """Fused-QKV self attention with RoPE2D (reference FlashAttentionRope,
     attention.py:357-381; qk_norm is disabled in the Pi3 heads). Everything
     stays in (B, S, H, D) layout, and the RoPE rotate-half is folded into
@@ -129,11 +132,12 @@ def _self_attn(x, lp, cos, sin, num_heads, dtype):
     k_rot = qkv[..., 4 * d :].reshape(b, s, num_heads, hd)
     q = _rope_mix(q, q_rot, cos, sin, dtype)
     k = _rope_mix(k, k_rot, cos, sin, dtype)
-    out = _attend(q, k, v).reshape(b, s, d)
+    out = _attend(q, k, v, valid_kv=valid_kv).reshape(b, s, d)
     return _lin(out, lp["proj"], dtype)
 
 
-def _cross_attn(x, y, lp, cos_q, sin_q, cos_k, sin_k, num_heads, dtype):
+def _cross_attn(x, y, lp, cos_q, sin_q, cos_k, sin_k, num_heads, dtype,
+                valid_kv=None):
     """Separate-projection cross attention with RoPE2D (reference
     FlashCrossAttentionRope, attention.py:238-270). Rotations folded into
     extra projection columns like _self_attn.
@@ -166,7 +170,7 @@ def _cross_attn(x, y, lp, cos_q, sin_q, cos_k, sin_k, num_heads, dtype):
     if by == 1 and b > 1:
         k = jnp.broadcast_to(k, (b, m, num_heads, hd))
         v = jnp.broadcast_to(v, (b, m, num_heads, hd))
-    out = _attend(q, k, v).reshape(b, s, d)
+    out = _attend(q, k, v, valid_kv=valid_kv).reshape(b, s, d)
     return _lin(out, lp["proj"], dtype)
 
 
@@ -191,8 +195,34 @@ def decoder_forward(
     hd = d // cfg.num_heads
     eps = cfg.layer_norm_eps
     dt = compute_dtype
+
+    # Run the WHOLE decoder at an 8-multiple row count: a 518px view is 777
+    # tokens, and 777-row tensors made XLA thread (8,128)-tile relayout
+    # copies between every GEMM/residual/attention (35% of head device time
+    # in the r3 trace). Pad once here, mask the pad keys inside attention,
+    # slice once at the end — pad QUERY rows carry garbage that never
+    # escapes their own rows.
+    s_real = hidden.shape[1]
+    s_pad = -(-s_real // 8) * 8
+    if s_pad != s_real:
+        hidden = jnp.pad(hidden, ((0, 0), (0, s_pad - s_real), (0, 0)))
+        positions = jnp.pad(
+            positions, ((0, 0), (0, s_pad - s_real), (0, 0))
+        )
+    valid_kv = s_real if s_pad != s_real else None
     cos, sin = rope2d_cos_sin(positions, hd, cfg.rope_freq)
+    ctx_valid = None
     if context is not None:
+        m_real = context.shape[1]
+        m_pad = -(-m_real // 8) * 8
+        if m_pad != m_real:
+            context = jnp.pad(
+                context, ((0, 0), (0, m_pad - m_real), (0, 0))
+            )
+            context_positions = jnp.pad(
+                context_positions, ((0, 0), (0, m_pad - m_real), (0, 0))
+            )
+            ctx_valid = m_real
         cos_k, sin_k = rope2d_cos_sin(context_positions, hd, cfg.rope_freq)
         ctx = context.astype(dt)
 
@@ -200,12 +230,15 @@ def decoder_forward(
 
     def block(x, lp):
         h = layer_norm(x, lp["norm1"]["w"], lp["norm1"]["b"], eps)
-        x = x + _self_attn(h, lp["attn"], cos, sin, cfg.num_heads, dt)
+        x = x + _self_attn(
+            h, lp["attn"], cos, sin, cfg.num_heads, dt, valid_kv=valid_kv
+        )
         if context is not None:
             y = layer_norm(ctx, lp["norm_y"]["w"], lp["norm_y"]["b"], eps)
             h = layer_norm(x, lp["norm2"]["w"], lp["norm2"]["b"], eps)
             x = x + _cross_attn(
-                h, y, lp["cross"], cos, sin, cos_k, sin_k, cfg.num_heads, dt
+                h, y, lp["cross"], cos, sin, cos_k, sin_k, cfg.num_heads,
+                dt, valid_kv=ctx_valid,
             )
             h = layer_norm(x, lp["norm3"]["w"], lp["norm3"]["b"], eps)
         else:
@@ -214,7 +247,8 @@ def decoder_forward(
         return x, None
 
     x, _ = jax.lax.scan(block, x, params["blocks"])
-    return _lin(x, params["linear_out"], dt)
+    out = _lin(x, params["linear_out"], dt)
+    return out[:, :s_real]
 
 
 def linear_pts3d(params: Dict, tokens: jax.Array, img_hw, patch_size: int) -> jax.Array:

@@ -1096,6 +1096,10 @@ def flash_batched_attention(
     block_q: int = 1024,
     block_kv: int = 1024,
     interpret: bool = False,
+    valid_kv: Optional[int] = None,  # mask keys >= valid_kv (< M): callers
+    # that pre-pad their sequences to tile multiples (pi3 heads run whole
+    # decoders at 8-multiple rows to kill relayout copies) still get exact
+    # masking of the pad keys
 ) -> jax.Array:
     """Full bidirectional (cross-)attention within each batch element, with
     a custom-VJP Pallas backward (encoders train through it). Keys past M
@@ -1107,14 +1111,15 @@ def flash_batched_attention(
     not online-softmax streaming — tiny blocks leave the kernel bound on
     per-step grid overhead."""
     b, s_real, h, d = q.shape
-    m_real = k.shape[1]
+    m_real = k.shape[1] if valid_kv is None else valid_kv
     if scale is None:
         scale = d ** -0.5
     # blocks: cap at the (8-rounded) sequence lengths
     block_q = min(block_q, -(-s_real // 8) * 8)
-    block_kv = min(block_kv, -(-m_real // 8) * 8)
+    block_kv = min(block_kv, -(-k.shape[1] // 8) * 8)
 
-    def prep(x, real, block):
+    def prep(x, block):
+        real = x.shape[1]
         pad = -(-real // block) * block - real
         x = jnp.swapaxes(x, 1, 2)  # (B, H, S, D)
         if pad:
@@ -1122,8 +1127,7 @@ def flash_batched_attention(
         return x
 
     out = _batched(
-        prep(q, s_real, block_q), prep(k, m_real, block_kv),
-        prep(v, m_real, block_kv), scale, block_q, block_kv, m_real,
-        interpret,
+        prep(q, block_q), prep(k, block_kv), prep(v, block_kv),
+        scale, block_q, block_kv, m_real, interpret,
     )
     return jnp.swapaxes(out, 1, 2)[:, :s_real]
