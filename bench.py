@@ -104,7 +104,9 @@ def main():
         records = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
         if records:
             with open(records[-1]) as f:
-                prev = json.load(f).get("value")
+                rec = json.load(f)
+            # driver records wrap the bench line under "parsed"
+            prev = rec.get("value") or rec.get("parsed", {}).get("value")
     except Exception:
         prev = None
     vs_baseline = (fps / prev) if prev else 1.0
