@@ -39,9 +39,14 @@ from ..ops.rope import apply_mrope, mrope_cos_sin
 
 
 class KVCache(NamedTuple):
-    k: jax.Array  # (L, C, KVH, HD) — int8 when quantized
+    # (L, KVH, C, HD): head-major so the minor dims are (context, head_dim)
+    # — the natural (sublane, lane) tiling for both bf16 and int8. A
+    # context-minor layout ((L, C, KVH, HD)) made XLA relayout the buffers
+    # inside the decode loop, which broke donation (a full cache copy per
+    # generate call) and padded int8 tiles 2x — the round-3 B=8 @25.6k OOM.
+    k: jax.Array  # int8 when quantized
     v: jax.Array
-    k_scale: Optional[jax.Array]  # (L, C, KVH) fp32 absmax/127; None if not
+    k_scale: Optional[jax.Array]  # (L, KVH, C) fp32 absmax/127; None if not
     v_scale: Optional[jax.Array]  # quantized
     length: jax.Array  # () int32 — valid prefix
 
@@ -52,11 +57,11 @@ def make_cache(
     L, kvh, hd = cfg.num_hidden_layers, cfg.num_key_value_heads, cfg.head_dim
     kv_dtype = jnp.int8 if quantized else dtype
     scale = (
-        jnp.zeros((L, capacity, kvh), jnp.float32) if quantized else None
+        jnp.zeros((L, kvh, capacity), jnp.float32) if quantized else None
     )
     return KVCache(
-        k=jnp.zeros((L, capacity, kvh, hd), kv_dtype),
-        v=jnp.zeros((L, capacity, kvh, hd), kv_dtype),
+        k=jnp.zeros((L, kvh, capacity, hd), kv_dtype),
+        v=jnp.zeros((L, kvh, capacity, hd), kv_dtype),
         k_scale=scale,
         v_scale=None if scale is None else jnp.zeros_like(scale),
         length=jnp.zeros((), jnp.int32),
@@ -76,7 +81,9 @@ def _quant(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 def fill_cache(cache: KVCache, prefill_kv: Dict, valid_len) -> KVCache:
     """Copy a prefill's per-layer KV (L, S, KVH, HD) into the cache head."""
-    k_new, v_new = prefill_kv["k"], prefill_kv["v"]
+    # to cache layout (L, KVH, S, HD)
+    k_new = jnp.swapaxes(prefill_kv["k"], 1, 2)
+    v_new = jnp.swapaxes(prefill_kv["v"], 1, 2)
     ks = vs = cache.k_scale
     if cache.k_scale is not None:
         k_new, sk = _quant(k_new)
@@ -99,7 +106,7 @@ def _attend(q, k_all, v_all, k_scale, v_scale, visible, hd, tp_axis,
     is read-only inside the layer scan; all layers' new rows are written with
     one dynamic_update_slice per step outside it).
 
-    q (KVH, G, HD) fp32; k_all/v_all (C_loc, KVH, HD); scales (C_loc, KVH)
+    q (KVH, G, HD) fp32; k_all/v_all (KVH, C_loc, HD); scales (KVH, C_loc)
     or None; visible (C_loc,) bool; k_self/v_self (KVH, HD) fp32; self_here
     () bool — False on every chip but the position owner under tp, so the
     psum counts the self term exactly once. With tp_axis set this is the
@@ -109,13 +116,13 @@ def _attend(q, k_all, v_all, k_scale, v_scale, visible, hd, tp_axis,
     kf = k_all.astype(jnp.float32)
     vf = v_all.astype(jnp.float32)
     logits = jnp.einsum(
-        "ngd,cnd->ngc", q, kf, preferred_element_type=jnp.float32
+        "ngd,ncd->ngc", q, kf, preferred_element_type=jnp.float32
     ) * (hd ** -0.5)
     if k_scale is not None:
         # dequant folded AFTER the GEMM: the per-(position, head) scale is a
         # row scaling of the logits — (KVH, G, C) elementwise instead of
-        # (C, KVH, HD), i.e. head_dim x less VPU work than scaling K itself
-        logits = logits * k_scale.T[:, None, :]
+        # (KVH, C, HD), i.e. head_dim x less VPU work than scaling K itself
+        logits = logits * k_scale[:, None, :]
     logits = jnp.where(visible[None, None, :], logits, -jnp.inf)
     s_self = jnp.einsum("ngd,nd->ng", q, k_self) * (hd ** -0.5)  # (KVH, G)
     s_self = jnp.where(self_here, s_self, -jnp.inf)
@@ -127,9 +134,9 @@ def _attend(q, k_all, v_all, k_scale, v_scale, visible, hd, tp_axis,
     p = jnp.where(visible[None, None, :], p, 0.0)
     p_self = jnp.where(self_here, jnp.exp(s_self - m), 0.0)  # (KVH, G)
     l = jnp.sum(p, axis=-1) + p_self
-    pv = p if v_scale is None else p * v_scale.T[:, None, :]
+    pv = p if v_scale is None else p * v_scale[:, None, :]
     acc = jnp.einsum(
-        "ngc,cnd->ngd", pv, vf, preferred_element_type=jnp.float32
+        "ngc,ncd->ngd", pv, vf, preferred_element_type=jnp.float32
     ) + p_self[..., None] * v_self[:, None, :]
     if tp_axis is not None:
         l = jax.lax.psum(l, tp_axis)
@@ -156,8 +163,8 @@ def decode_step(
     [cached rows < length] + the fresh self row computed analytically; the
     new K/V rows of ALL layers are collected as tiny scan outputs and written
     with ONE dynamic_update_slice per step. No per-layer gather/scatter on
-    the (L, C, ...) buffers — that shape made XLA double-buffer the cache and
-    blew up batched compiles."""
+    the (L, KVH, C, ...) buffers — per-layer scatter made XLA double-buffer
+    the cache and blew up batched compiles."""
     dt = compute_dtype
     nh, kvh, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     g = nh // kvh
@@ -167,7 +174,7 @@ def decode_step(
     cos, sin = mrope_cos_sin(pos3, cfg.head_dim, cfg.rope_theta, cfg.mrope_section)
 
     cur = cache.length
-    c_loc = cache.k.shape[1]
+    c_loc = cache.k.shape[2]
     if tp_axis is not None:
         shard = jax.lax.axis_index(tp_axis)
         offset = (shard * c_loc).astype(jnp.int32)
@@ -220,18 +227,19 @@ def decode_step(
 
     def write_rows(buf, rows, scales_buf):
         """One in-place write of all layers' new rows at local_pos (a no-op
-        value-wise on shards that don't own the position)."""
+        value-wise on shards that don't own the position). rows (L, KVH, HD);
+        buf (L, KVH, C, HD); scales (L, KVH, C)."""
         if quantized:
-            qrows, srows = _quant(rows)
+            qrows, srows = _quant(rows)  # srows (L, KVH)
             srows = jnp.where(owns, srows, _row_slice(scales_buf, local_pos))
             scales_buf = jax.lax.dynamic_update_slice(
-                scales_buf, srows[:, None], (0, local_pos, 0)
+                scales_buf, srows[:, :, None], (0, 0, local_pos)
             )
             rows = qrows
         old = _row_slice(buf, local_pos)
         rows = jnp.where(owns, rows.astype(buf.dtype), old)
         buf = jax.lax.dynamic_update_slice(
-            buf, rows[:, None], (0, local_pos) + (0,) * (buf.ndim - 2)
+            buf, rows[:, :, None], (0, 0, local_pos) + (0,) * (buf.ndim - 3)
         )
         return buf, scales_buf
 
@@ -244,10 +252,10 @@ def decode_step(
 
 
 def _row_slice(buf, pos):
-    """buf (L, C, ...) -> the (L, ...) row at context position pos."""
-    sizes = (buf.shape[0], 1) + buf.shape[2:]
-    start = (0, pos) + (0,) * (buf.ndim - 2)
-    return jax.lax.dynamic_slice(buf, start, sizes)[:, 0]
+    """buf (L, KVH, C, ...) -> the (L, KVH, ...) row at context pos."""
+    sizes = buf.shape[:2] + (1,) + buf.shape[3:]
+    start = (0, 0, pos) + (0,) * (buf.ndim - 3)
+    return jax.lax.dynamic_slice(buf, start, sizes)[:, :, 0]
 
 
 def _generate_loop(
@@ -348,13 +356,13 @@ def generate_tp(
     if rng_key is None:
         rng_key = jax.random.PRNGKey(0)
     n = mesh.shape[axis_name]
-    assert cache.k.shape[1] % n == 0, (
-        f"cache capacity {cache.k.shape[1]} must divide {axis_name}={n}"
+    assert cache.k.shape[2] % n == 0, (
+        f"cache capacity {cache.k.shape[2]} must divide {axis_name}={n}"
     )
-    ctx = P(None, axis_name)
+    ctx = P(None, None, axis_name)
     cache_spec = KVCache(
-        k=P(None, axis_name, None, None),
-        v=P(None, axis_name, None, None),
+        k=P(None, None, axis_name, None),
+        v=P(None, None, axis_name, None),
         k_scale=None if cache.k_scale is None else ctx,
         v_scale=None if cache.v_scale is None else ctx,
         length=P(),
@@ -388,7 +396,7 @@ def generate_tp(
 )
 def generate_batched(
     params: Dict,
-    caches: KVCache,  # leaves carry a leading batch axis (B, L, C, ...)
+    caches: KVCache,  # leaves carry a leading batch axis (B, L, KVH, C, ...)
     start_tokens: jax.Array,  # (B,) int32
     rope_pos: jax.Array,  # (B,) int32
     eos_token_id: int,

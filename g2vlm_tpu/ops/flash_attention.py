@@ -32,6 +32,12 @@ from .masks import TokenInfo
 
 NEG_INF = -1e30
 _LOG2E = 1.4426950408889634  # log2(e): exp(x) == exp2(x * _LOG2E)
+# Shiftless static softmax: weights saturate at 2^_SAT. Row sums stay
+# < 2^_SAT * S_kv << 2^127 (fp32 max), so no per-row shift is needed at
+# all — softmax normalization cancels any constant. Exact for |logits|
+# <= _SAT log2 units (~69 nats; qk-normed decoder ~11 nats, un-normed
+# ViTs ~tens); beyond that weights clamp instead of overflowing to NaN.
+_SAT = 100.0
 
 # per-(q-block, kv-block) visibility classification, computed host/XLA-side
 # from block min/max of the token metadata and prefetched into SMEM. The
@@ -117,22 +123,18 @@ def _online_softmax_update(s, mask, v, m_scr, l_scr, acc_scr,
     """One kv-tile contribution to the running (m, l, acc) statistics.
     mask=None on BLOCK_FULL tiles skips all masking VPU work.
 
-    static_max: m_scr already holds a per-row UPPER BOUND on the logits
-    (from ||q||*max||k||, see _flash_kernel) — the running max, the alpha
-    rescales of l/acc, and the max-reduce -> exp serialization all drop out;
-    softmax is shift-invariant so the result is identical."""
+    static_max: SHIFTLESS exponentiation — softmax is shift-invariant and
+    fp32's exponent range covers the whole admissible logit domain (see
+    _SAT), so no per-row shift is subtracted at all: no running max, no
+    alpha rescales of l/acc, no max-reduce -> exp serialization, and one
+    fewer VPU pass (the broadcast subtract) per score tile."""
     if static_max:
         # s is pre-scaled by scale*log2(e) (folded into q outside the
         # kernel), so exp2 with no per-element multiplies at all
         # (bf16 exp2 measured no faster — Mosaic does not pack bf16
-        # transcendentals). The exponent is saturated at +100: when the
-        # shift bound is NOT capped (every qk-normed caller), s-m <= 0 by
-        # Cauchy-Schwarz and the min is a no-op; when the 40-nat cap
-        # engages AND true logits exceed it by >100 log2 units (reachable
-        # only for un-normed callers with ~extreme activations), weights
-        # saturate at 2^100 instead of overflowing exp2 -> inf -> NaN
-        # (row sums stay < 2^100 * S_kv << fp32 max).
-        p = jnp.exp2(jnp.minimum(s - m_scr[:, :1], 100.0))
+        # transcendentals). The single min saturates pathological logits
+        # at 2^_SAT instead of overflowing exp2 -> inf -> NaN.
+        p = jnp.exp2(jnp.minimum(s, _SAT))
         if mask is not None:
             p = jnp.where(mask, p, 0.0)
         l_scr[:, :1] += jnp.sum(p, axis=1, keepdims=True)
@@ -164,7 +166,6 @@ def _online_softmax_update(s, mask, v, m_scr, l_scr, acc_scr,
 
 def _flash_kernel(
     codes_ref,  # (n_q, n_kv) int32 in SMEM (scalar prefetch)
-    kmax_ref,  # (KVH,) fp32 in SMEM: max ||k|| per kv head (static_max)
     q_ref,  # (G, BQ, D) — ALL q heads of one GQA group packed per step, so
             # each kv block is fetched once per group instead of once per
             # q head (6x less KV HBM traffic at Qwen2-VL's 12:2 ratio)
@@ -183,7 +184,6 @@ def _flash_kernel(
     n_kv_blocks: int,
     static_max: bool,
 ):
-    hh = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
     code = codes_ref[i, j]
@@ -191,17 +191,9 @@ def _flash_kernel(
 
     @pl.when(j == 0)
     def _():
-        if static_max:
-            # softmax shift = a provable per-row logit upper bound:
-            # ||q_row'||*max||k|| where q' is pre-scaled by scale*log2(e)
-            # (softmax is shift-invariant, so this is exact). Capped at
-            # 40*log2(e) so even a 2*bound logit span stays in fp32 exp
-            # range; see flash_segment_attention docstring.
-            qf = q_ref[...].reshape(g * bq, d).astype(jnp.float32)
-            qn = jnp.sqrt(jnp.sum(qf * qf, axis=1, keepdims=True))
-            bound = jnp.minimum(qn * kmax_ref[hh], 40.0 * _LOG2E)
-            m_scr[:] = jnp.broadcast_to(bound, m_scr.shape)
-        else:
+        if not static_max:
+            # shiftless static path never reads m_scr (see
+            # _online_softmax_update); only the online form needs it
             m_scr[:] = jnp.full_like(m_scr, NEG_INF)
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
@@ -244,13 +236,13 @@ def _flash_kernel(
 
 
 def _flash_kernel_lse(
-    codes_ref, kmax_ref, q_ref, k_ref, v_ref, qm_ref, km_ref, o_ref, lse_ref,
+    codes_ref, q_ref, k_ref, v_ref, qm_ref, km_ref, o_ref, lse_ref,
     m_scr, l_scr, acc_scr, *, scale: float, n_kv_blocks: int,
     static_max: bool,
 ):
     """Forward that also emits the per-row logsumexp (for the backward)."""
     _flash_kernel(
-        codes_ref, kmax_ref, q_ref, k_ref, v_ref, qm_ref, km_ref, o_ref,
+        codes_ref, q_ref, k_ref, v_ref, qm_ref, km_ref, o_ref,
         m_scr, l_scr, acc_scr, scale=scale, n_kv_blocks=n_kv_blocks,
         static_max=static_max,
     )
@@ -259,10 +251,12 @@ def _flash_kernel_lse(
     @pl.when(j == n_kv_blocks - 1)
     def _():
         g, bq = lse_ref.shape[0], lse_ref.shape[1]
-        m = m_scr[:, :1]
-        if static_max:
-            m = m * (1.0 / _LOG2E)  # bound was in log2 units (scaled q)
         l = l_scr[:, :1]
+        if static_max:
+            # shiftless: l already equals sum(exp(logits)) in natural units
+            m = jnp.zeros_like(l)
+        else:
+            m = m_scr[:, :1]
         # fully-masked rows: lse = NEG_INF so backward p = exp(-inf) = 0
         lse = jnp.where(
             l > 0.0, m + jnp.log(jnp.maximum(l, 1e-30)), NEG_INF
@@ -457,17 +451,11 @@ def _fwd_pallas(qp, kp, vp, qm, km, scale, block_q, block_kv, interpret,
     g = h // kvh
     codes = _block_codes(qm, km, block_q, block_kv)
     if static_max:
-        # per-kv-head max key norm for the static softmax shift (tiny XLA
-        # pass; only the static-max kernel reads it)
-        kf = kp.astype(jnp.float32)
-        kmax = jnp.sqrt(jnp.max(jnp.sum(kf * kf, axis=2), axis=1))  # (KVH,)
         # fold scale*log2(e) into q (fused into the pad pass by XLA): the
         # kernel then computes exp2 scores with zero per-element multiplies.
         # Residuals for the backward keep the ORIGINAL q (custom_vjp saves
         # the wrapper args, not this scaled copy).
         qp = (qp.astype(jnp.float32) * (scale * _LOG2E)).astype(qp.dtype)
-    else:
-        kmax = jnp.zeros((kvh,), jnp.float32)  # unread placeholder operand
     if with_lse:
         kernel = functools.partial(
             _flash_kernel_lse, scale=scale, n_kv_blocks=n_kv,
@@ -486,7 +474,7 @@ def _fwd_pallas(qp, kp, vp, qm, km, scale, block_q, block_kv, interpret,
         out_shape = jax.ShapeDtypeStruct((h, sq_p, d), vp.dtype)
         out_specs = _q_spec(block_q, d, g)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(kvh, n_q, n_kv),
         in_specs=[
             _q_spec(block_q, d, g),
@@ -507,7 +495,7 @@ def _fwd_pallas(qp, kp, vp, qm, km, scale, block_q, block_kv, interpret,
         grid_spec=grid_spec,
         compiler_params=_SEMANTICS,
         interpret=interpret,
-    )(codes, kmax, qp, kp, vp, qm, km)
+    )(codes, qp, kp, vp, qm, km)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
@@ -658,13 +646,13 @@ def flash_segment_attention(
     (25088 tokens): 33.6 ms vs 147 ms blockwise-XLA (4.4x) with GQA packing
     + block visibility codes.
 
-    static_max (default on, G2VLM_STATIC_MAX=0 opts out): shift the softmax
-    by the provable per-row logit bound scale*||q_row||*max||k|| instead of
-    the online running max — drops the per-tile max reduce, the l/acc alpha
-    rescales, and the max->exp serialization. Exact (softmax is shift-
-    invariant); the bound is capped at 40 so exp stays in fp32 range for a
-    2*bound logit span (~1e34 headroom). For qk-normed models the bound is
-    ~sqrt(head_dim)*|gamma_q||gamma_k| ~= 11 — far inside range."""
+    static_max (default on, G2VLM_STATIC_MAX=0 opts out): SHIFTLESS exp2
+    softmax — no per-row shift at all (softmax normalization cancels any
+    constant, and fp32's exponent range covers the admissible logit domain;
+    see _SAT). Drops the per-tile max reduce, the l/acc alpha rescales, the
+    max->exp serialization, and the broadcast-subtract VPU pass. Exact for
+    |logits| <= ~69 nats — qk-normed models sit at ~11; beyond that weights
+    saturate at 2^100 instead of overflowing to NaN."""
     s_q, h, d = q.shape
     s_kv, kvh, _ = k.shape
     if scale is None:
@@ -753,29 +741,19 @@ def _batched_flash_kernel(
 
     if static_max:
         # whole view in one kv block (n_kv_blocks == 1, enforced by the
-        # wrapper): shift by the provable bound ||q'||*max||k|| (q' carries
-        # scale*log2e), exp2, no running max / alpha rescale
+        # wrapper): SHIFTLESS exp2 softmax (q' carries scale*log2e) — no
+        # running max / alpha rescale, and no per-tile q/k norm passes;
+        # see _SAT for the range argument
         for hh in range(hb):
             q = q_ref[0, hh]
             k = k_ref[0, hh]
-            kf = k.astype(jnp.float32)
-            kn2 = jnp.sum(kf * kf, axis=1, keepdims=True)  # (BK, 1)
-            if key_ok is not None:
-                row = j * block_kv + jax.lax.broadcasted_iota(
-                    jnp.int32, (block_kv, 1), 0
-                )
-                kn2 = jnp.where(row < s_real, kn2, 0.0)
-            kmax = jnp.sqrt(jnp.max(kn2))
-            qf = q.astype(jnp.float32)
-            qn = jnp.sqrt(jnp.sum(qf * qf, axis=1, keepdims=True))
-            m = jnp.minimum(qn * kmax, 40.0 * _LOG2E)  # (BQ, 1)
             s = jax.lax.dot_general(
                 q, k, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             if key_ok is not None:
                 s = jnp.where(key_ok, s, NEG_INF)
-            p = jnp.exp2(s - m)
+            p = jnp.exp2(jnp.minimum(s, _SAT))
             l = jnp.sum(p, axis=1, keepdims=True)
             acc = jax.lax.dot_general(
                 p.astype(v_ref.dtype), v_ref[0, hh],

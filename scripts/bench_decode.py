@@ -54,8 +54,10 @@ def main():
                     quantized=(args.kv == "int8"),
                 )
                 pre = {
+                    # fill_cache takes prefill layout (L, S, KVH, HD)
                     "k": jax.random.normal(
-                        key, (c.k.shape[0], capacity) + c.k.shape[2:],
+                        key,
+                        (c.k.shape[0], capacity, c.k.shape[1], c.k.shape[3]),
                         jnp.bfloat16,
                     ) * 0.1,
                 }

@@ -280,7 +280,7 @@ def test_quantized_kv_cache_close(rng):
         decoding.make_cache(cfg, 64, dtype=jnp.float32, quantized=True),
         pre, 23,
     )
-    assert c_i8.k.dtype == jnp.int8 and c_i8.k_scale.shape == (L, 64, kvh)
+    assert c_i8.k.dtype == jnp.int8 and c_i8.k_scale.shape == (L, kvh, 64)
     l_f32, _ = decoding.decode_step(
         params, c_f32, jnp.asarray(5), jnp.asarray(23), cfg, jnp.float32
     )
