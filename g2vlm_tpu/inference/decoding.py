@@ -68,6 +68,22 @@ def make_cache(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "capacity", "dtype", "quantized"),
+    donate_argnums=(0,),  # the prefill KV is consumed: inside jit the
+    # zeros+update fuses into one buffer write, so peak residency is
+    # kv + cache instead of kv + zeros + filled (3x KV at 32-view chat)
+)
+def build_cache(
+    prefill_kv: Dict, valid_len: jax.Array, cfg: LLMConfig, capacity: int,
+    dtype=jnp.bfloat16, quantized: bool = False,
+) -> KVCache:
+    """fill_cache(make_cache(...)) in one donating jit."""
+    cache = make_cache(cfg, capacity, dtype=dtype, quantized=quantized)
+    return fill_cache(cache, prefill_kv, valid_len)
+
+
 def _quant(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """int8-quantize over the last (head_dim) axis.
     x (..., KVH, HD) -> (int8 same shape, fp32 scale (..., KVH))."""

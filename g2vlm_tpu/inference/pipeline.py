@@ -247,6 +247,7 @@ class G2VLMPipeline:
         new_width: int = 518,
         seed: int = 0,
         return_info: bool = False,
+        quantized_kv: bool = False,
     ) -> str:
         from ..data.vit_preprocess import preprocess_vit_image
         from . import decoding
@@ -288,17 +289,19 @@ class G2VLMPipeline:
         fn = self._chat_prefill_jit(
             _HashableArrays((prefill, vit_coords, vit_seg))
         )
-        hidden, kv = fn(self.params, normed, jnp.asarray(vit_patches))
+        _, kv = fn(self.params, normed, jnp.asarray(vit_patches))
 
         capacity = max(
             _round_up(prefill.seq_len + max_new_tokens + 8, 128),
             len(prefill.doc_id),
         )
-        cache = decoding.make_cache(
-            self.cfg.llm, capacity, dtype=self.compute_dtype
+        # only the first seq_len rows are valid KV (padding rows masked by
+        # len); build_cache donates kv so long-context chat holds one cache,
+        # not three KV-sized buffers
+        cache = decoding.build_cache(
+            kv, jnp.asarray(prefill.seq_len, jnp.int32), self.cfg.llm,
+            capacity, dtype=self.compute_dtype, quantized=quantized_kv,
         )
-        # only the first seq_len rows are valid KV (padding rows masked by len)
-        cache = decoding.fill_cache(cache, kv, prefill.seq_len)
 
         toks, num = decoding.generate(
             self.params["llm"],
