@@ -263,7 +263,15 @@ def decode_step(
     cv, cvs = write_rows(cache.v, v_rows, cache.v_scale)
 
     h = rms_norm(x, params["norm"], cfg.rms_norm_eps)
-    logits = (h.astype(jnp.float32) @ params["lm_head"].astype(jnp.float32))[0]
+    # compute-dtype GEMM with fp32 accumulation: an fp32 upcast of lm_head
+    # here materializes a ~0.9G weight copy inside the loop and runs the
+    # MXU at fp32 rate; bf16 inputs + preferred fp32 keep full accumulate
+    # precision (and fp32 mode is unchanged: dt == fp32 there)
+    logits = jax.lax.dot_general(
+        h.astype(dt), params["lm_head"].astype(dt),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[0]
     return logits, KVCache(ck, cv, cks, cvs, cache.length + 1)
 
 
@@ -309,7 +317,11 @@ def _generate_loop(
         jnp.zeros((), bool),
     )
     i, _, _, cache, toks, _, _ = jax.lax.while_loop(cond, body, state)
-    return toks, i
+    # the final cache is RETURNED so XLA can alias the donated input cache
+    # to it — donation only aliases inputs to OUTPUTS, so without this the
+    # loop carry is a full extra cache copy (2x KV residency). Callers may
+    # discard it, or keep it for multi-turn continuation.
+    return toks, i, cache
 
 
 @functools.partial(
@@ -331,9 +343,11 @@ def generate(
     temperature: float = 1.0,
     rng_key: Optional[jax.Array] = None,
     compute_dtype=jnp.bfloat16,
-) -> Tuple[jax.Array, jax.Array]:
+) -> Tuple[jax.Array, jax.Array, KVCache]:
     """Greedy/temperature generation as one while_loop. Returns
-    (tokens (max_new_tokens,) padded with eos, num_generated)."""
+    (tokens (max_new_tokens,) padded with eos, num_generated, final cache).
+    The returned cache aliases the donated input in place (multi-turn
+    continuation is free); discard it if unused."""
     if rng_key is None:
         rng_key = jax.random.PRNGKey(0)
     return _generate_loop(
@@ -356,7 +370,7 @@ def generate_tp(
     temperature: float = 1.0,
     rng_key: Optional[jax.Array] = None,
     compute_dtype=jnp.bfloat16,
-) -> Tuple[jax.Array, jax.Array]:
+) -> Tuple[jax.Array, jax.Array, KVCache]:
     """Context-sharded (flash-decoding) generation over `axis_name`: the KV
     cache's context axis is partitioned across the mesh (22.4G of B=8 32-view
     chat KV is 2.8G/chip on a v5e-8), params are replicated, and every chip
@@ -397,7 +411,7 @@ def generate_tp(
         lambda p, c, st, rp, key: body(p, c, st, rp, rng_key=key),
         mesh=mesh,
         in_specs=(P(), cache_spec, P(), P(), P()),
-        out_specs=(P(), P()),
+        out_specs=(P(), P(), cache_spec),
     )
     return jax.jit(fn, donate_argnums=(1,))(
         params, cache, jnp.asarray(start_token, jnp.int32),
@@ -422,12 +436,13 @@ def generate_batched(
     temperature: float = 1.0,
     rng_key: Optional[jax.Array] = None,
     compute_dtype=jnp.bfloat16,
-) -> Tuple[jax.Array, jax.Array]:
+) -> Tuple[jax.Array, jax.Array, KVCache]:
     """Batched serving decode: B independent sequences (own caches/positions)
     advance in ONE while_loop; per-token weight reads amortize across the
     batch (the decode is weight-bandwidth-bound, so throughput scales nearly
     linearly until the MXU saturates). Finished sequences emit eos and stop
-    counting. Returns (tokens (B, max_new_tokens), num_generated (B,)).
+    counting. Returns (tokens (B, max_new_tokens), num_generated (B,),
+    final caches — aliasing the donated inputs, for multi-turn reuse).
 
     The reference decodes strictly batch=1 (g2vlm.py:1070-1141); this is the
     production-serving extension. For multi-chip serving, device_put the
@@ -472,4 +487,5 @@ def generate_batched(
         jnp.zeros((b,), bool),
     )
     _, _, _, caches, toks, num, _, _ = jax.lax.while_loop(cond, body, state)
-    return toks, num
+    # returned so the donated input caches alias the carry (see generate)
+    return toks, num, caches

@@ -248,6 +248,7 @@ class G2VLMPipeline:
         seed: int = 0,
         return_info: bool = False,
         quantized_kv: bool = False,
+        mem_probe=None,  # optional callable(tag) for HBM diagnostics
     ) -> str:
         from ..data.vit_preprocess import preprocess_vit_image
         from . import decoding
@@ -290,6 +291,9 @@ class G2VLMPipeline:
             _HashableArrays((prefill, vit_coords, vit_seg))
         )
         _, kv = fn(self.params, normed, jnp.asarray(vit_patches))
+        if mem_probe is not None:
+            jax.block_until_ready(kv)
+            mem_probe(f"chat prefill done (S={prefill.seq_len})")
 
         capacity = max(
             _round_up(prefill.seq_len + max_new_tokens + 8, 128),
@@ -302,8 +306,12 @@ class G2VLMPipeline:
             kv, jnp.asarray(prefill.seq_len, jnp.int32), self.cfg.llm,
             capacity, dtype=self.compute_dtype, quantized=quantized_kv,
         )
+        if mem_probe is not None:
+            del kv
+            jax.block_until_ready(cache)
+            mem_probe(f"cache built (capacity={capacity})")
 
-        toks, num = decoding.generate(
+        toks, num, _ = decoding.generate(
             self.params["llm"],
             cache,
             jnp.asarray(start_token, jnp.int32),

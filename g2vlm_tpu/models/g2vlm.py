@@ -387,22 +387,52 @@ def prefill_hidden(
         and len(prefill.dino_indexes) > 4 * n_text
         and int(prefill.text_indexes[0]) == 0
     )
+    und_idx = None
+    geo_start = None
+    perm = None
     if geo_dominant:
         pad = -(-n_text // 128) * 128 - n_text
         und_idx = jnp.asarray(
             np.pad(prefill.text_indexes, (0, pad))  # row 0 is the BOS (und)
         )
         expert_mode = mot_decoder.GEO_MAIN
+    elif (
+        cfg.llm.layer_module == "mot"
+        and isinstance(prefill.is_geo, np.ndarray)
+        and 0 < int(prefill.is_geo.sum()) < int((prefill.doc_id >= 0).sum())
+    ):
+        # Mixed und/geo prefill (chat_with_recon: ~25k geo + ~23k vit und
+        # tokens): sort rows [und | geo | padding] host-side and run the
+        # SPLIT layer — every expert matmul on a contiguous slice, 1x FLOPs
+        # instead of MIXED's dual compute (which at 48k tokens also blew
+        # the HBM temp arena). Attention is row-permutation-invariant given
+        # per-row TokenInfo, and the decode cache doesn't care about row
+        # order either; padding (doc_id < 0) stays at the tail so the
+        # cache's `row < length` visibility still excludes it.
+        key = np.where(
+            prefill.doc_id < 0, 2, prefill.is_geo.astype(np.int32)
+        )
+        perm = np.argsort(key, kind="stable")
+        geo_start = int((key == 0).sum())
+        expert_mode = mot_decoder.SPLIT
     else:
-        und_idx = None
         expert_mode = mot_decoder.MIXED
+
+    info = prefill.token_info()
+    is_geo_arr = np.asarray(prefill.is_geo)
+    position_ids = np.asarray(prefill.position_ids)
+    if perm is not None:
+        seq = seq[jnp.asarray(perm)]
+        is_geo_arr = is_geo_arr[perm]
+        position_ids = position_ids[:, perm]
+        info = TokenInfo(*(f[jnp.asarray(perm)] for f in info))
 
     hidden, kv = mot_decoder.decoder_forward(
         params["llm"],
         seq,
-        jnp.asarray(prefill.is_geo),
-        jnp.asarray(prefill.position_ids),
-        q_info=prefill.token_info(),
+        jnp.asarray(is_geo_arr),
+        jnp.asarray(position_ids),
+        q_info=info,
         kv_info=None,
         past_kv=None,
         cfg=cfg.llm,
@@ -410,7 +440,13 @@ def prefill_hidden(
         compute_dtype=compute_dtype,
         attn_impl=attn_impl,
         und_fixup_idx=und_idx,
+        geo_start=geo_start,
     )
+    if perm is not None:
+        # un-sort the hidden states so callers index by logical position;
+        # the per-layer KV stays in sorted order (attention over a cache is
+        # row-order-independent; padding rows sit at >= seq_len)
+        hidden = hidden[jnp.asarray(np.argsort(perm, kind="stable"))]
     return hidden, (kv if return_kv else None)
 
 

@@ -23,17 +23,18 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def bench_one(pipe, images, prompt, n_new, label):
+def bench_one(pipe, images, prompt, n_new, label, quantized_kv=False):
+    kw = dict(return_info=True, quantized_kv=quantized_kv)
     # warm compile (prefill program + decode program for this shape)
     t0 = time.perf_counter()
-    _, info = pipe.chat(images, prompt, max_new_tokens=n_new, return_info=True)
+    _, info = pipe.chat(images, prompt, max_new_tokens=n_new, **kw)
     compile_s = time.perf_counter() - t0
 
     # TTFT: prefill + 1 decode step
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()
-        pipe.chat(images, prompt, max_new_tokens=1, return_info=True)
+        pipe.chat(images, prompt, max_new_tokens=1, **kw)
         ts.append(time.perf_counter() - t0)
     ttft = min(ts)
 
@@ -42,7 +43,7 @@ def bench_one(pipe, images, prompt, n_new, label):
     nums = []
     for _ in range(3):
         t0 = time.perf_counter()
-        _, inf = pipe.chat(images, prompt, max_new_tokens=n_new, return_info=True)
+        _, inf = pipe.chat(images, prompt, max_new_tokens=n_new, **kw)
         ts.append(time.perf_counter() - t0)
         nums.append(inf["num_tokens"])
     total = min(ts)
@@ -108,8 +109,12 @@ def main():
         frames = sorted(glob.glob(os.path.join(args.examples, "dl3dv", "*")))
         views = [frames[i % len(frames)] for i in range(args.views)]
         q = "Describe the spatial layout of this scene."
+        # int8 KV is the long-context serving configuration (a ~38k-token
+        # prefill: 25k geo + 12k ViT tokens; bf16 cache + its loop-carry
+        # copy does not fit next to the full und+geo+ViT+dino weights)
         bench_one(pipe, views, q, args.new_tokens,
-                  f"config4 interleaved {args.views}-view chat")
+                  f"config4 interleaved {args.views}-view chat (int8 KV)",
+                  quantized_kv=True)
 
 
 if __name__ == "__main__":

@@ -66,7 +66,7 @@ def main():
 
             if b == 1:
                 def run():
-                    toks, num = decoding.generate(
+                    toks, num, _ = decoding.generate(
                         params, mk_cache(),
                         jnp.asarray(198, jnp.int32),
                         jnp.asarray(ctx, jnp.int32),
@@ -81,7 +81,7 @@ def main():
                         lambda x: jnp.broadcast_to(x[None], (b,) + x.shape),
                         mk_cache(),
                     )
-                    toks, num = decoding.generate_batched(
+                    toks, num, _ = decoding.generate_batched(
                         params, caches,
                         jnp.full((b,), 198, jnp.int32),
                         jnp.full((b,), ctx, jnp.int32),

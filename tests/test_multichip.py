@@ -205,11 +205,11 @@ def test_generate_tp_context_sharded_matches_single(rng):
 
     kw = dict(eos_token_id=8, cfg=cfg, max_new_tokens=8,
               compute_dtype=jnp.float32)
-    toks_1, n_1 = decoding.generate(
+    toks_1, n_1, _ = decoding.generate(
         params, cache(), jnp.asarray(5), jnp.asarray(23), **kw
     )
     mesh = meshlib.make_mesh(8, dp=1, fsdp=1, tp=8)
-    toks_tp, n_tp = decoding.generate_tp(
+    toks_tp, n_tp, _ = decoding.generate_tp(
         params, cache(), jnp.asarray(5), jnp.asarray(23), mesh=mesh,
         axis_name=meshlib.TP, **kw,
     )
@@ -240,7 +240,7 @@ def test_generate_batched_dp_sharded_matches(rng):
     starts = jnp.asarray(rng.integers(3, 100, b), jnp.int32)
     kw = dict(eos_token_id=8, cfg=cfg, max_new_tokens=6,
               compute_dtype=jnp.float32)
-    toks_ref, num_ref = decoding.generate_batched(
+    toks_ref, num_ref, _ = decoding.generate_batched(
         params, batched_cache(), starts, jnp.zeros(b, jnp.int32), **kw
     )
 
@@ -251,7 +251,7 @@ def test_generate_batched_dp_sharded_matches(rng):
     sharded = jax.tree.map(
         lambda x: jax.device_put(x, spec(x)), batched_cache()
     )
-    toks_dp, num_dp = decoding.generate_batched(
+    toks_dp, num_dp, _ = decoding.generate_batched(
         params, sharded, jax.device_put(starts, spec(starts)),
         jax.device_put(jnp.zeros(b, jnp.int32), spec(starts)), **kw
     )
@@ -290,7 +290,7 @@ def test_quantized_kv_cache_close(rng):
     err = float(jnp.max(jnp.abs(l_i8 - l_f32)))
     span = float(jnp.max(l_f32) - jnp.min(l_f32))
     assert err < 0.05 * span, (err, span)
-    toks, n = decoding.generate(
+    toks, n, _ = decoding.generate(
         params, c_i8, jnp.asarray(5), jnp.asarray(23), eos_token_id=8,
         cfg=cfg, max_new_tokens=6, compute_dtype=jnp.float32,
     )

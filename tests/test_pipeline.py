@@ -46,12 +46,12 @@ def test_generate_deterministic_greedy(pipe):
     cfg = pipe.cfg.llm
     llm = pipe.params["llm"]
     # generate() donates (consumes) its cache — build one per call
-    toks1, n1 = decoding.generate(
+    toks1, n1, _ = decoding.generate(
         llm, decoding.make_cache(cfg, 64, dtype=jnp.float32),
         jnp.asarray(5), jnp.asarray(0), eos_token_id=8, cfg=cfg,
         max_new_tokens=6, compute_dtype=jnp.float32,
     )
-    toks2, n2 = decoding.generate(
+    toks2, n2, _ = decoding.generate(
         llm, decoding.make_cache(cfg, 64, dtype=jnp.float32),
         jnp.asarray(5), jnp.asarray(0), eos_token_id=8, cfg=cfg,
         max_new_tokens=6, compute_dtype=jnp.float32,
@@ -65,7 +65,7 @@ def test_generate_sampling_respects_temperature(pipe):
     outs = set()
     for seed in range(3):
         cache = decoding.make_cache(cfg, 64, dtype=jnp.float32)
-        toks, _ = decoding.generate(
+        toks, _, _ = decoding.generate(
             llm, cache, jnp.asarray(5), jnp.asarray(0), eos_token_id=8,
             cfg=cfg, max_new_tokens=6, do_sample=True, temperature=5.0,
             rng_key=jax.random.PRNGKey(seed), compute_dtype=jnp.float32,
@@ -123,7 +123,7 @@ def test_generate_batched_matches_single(pipe):
     caches = []
     for s in starts:
         cache = decoding.make_cache(cfg, 64, dtype=jnp.float32)
-        toks, n = decoding.generate(
+        toks, n, _ = decoding.generate(
             llm, cache, jnp.asarray(s), jnp.asarray(0), eos_token_id=8,
             cfg=cfg, max_new_tokens=6, compute_dtype=jnp.float32,
         )
@@ -131,7 +131,7 @@ def test_generate_batched_matches_single(pipe):
         caches.append(decoding.make_cache(cfg, 64, dtype=jnp.float32))
 
     batched_cache = jax.tree.map(lambda *xs: jnp.stack(xs), *caches)
-    toks_b, num_b = decoding.generate_batched(
+    toks_b, num_b, _ = decoding.generate_batched(
         llm, batched_cache, jnp.asarray(starts), jnp.zeros(3, jnp.int32),
         eos_token_id=8, cfg=cfg, max_new_tokens=6, compute_dtype=jnp.float32,
     )
