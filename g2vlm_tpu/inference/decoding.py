@@ -96,22 +96,34 @@ def _quant(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 
 def fill_cache(cache: KVCache, prefill_kv: Dict, valid_len) -> KVCache:
-    """Copy a prefill's per-layer KV (L, S, KVH, HD) into the cache head."""
-    # to cache layout (L, KVH, S, HD)
-    k_new = jnp.swapaxes(prefill_kv["k"], 1, 2)
-    v_new = jnp.swapaxes(prefill_kv["v"], 1, 2)
-    ks = vs = cache.k_scale
-    if cache.k_scale is not None:
-        k_new, sk = _quant(k_new)
-        v_new, sv = _quant(v_new)
-        ks = jax.lax.dynamic_update_slice(cache.k_scale, sk, (0, 0, 0))
-        vs = jax.lax.dynamic_update_slice(cache.v_scale, sv, (0, 0, 0))
-    k = jax.lax.dynamic_update_slice(
-        cache.k, k_new.astype(cache.k.dtype), (0, 0, 0, 0)
-    )
-    v = jax.lax.dynamic_update_slice(
-        cache.v, v_new.astype(cache.v.dtype), (0, 0, 0, 0)
-    )
+    """Copy a prefill's per-layer KV (L, S, KVH, HD) into the cache head.
+
+    Layer-by-layer (lax.map): transposing + quantizing the whole (L, S,
+    KVH, HD) stack at once materializes fp32 intermediates of 28x the
+    per-layer size (~5.5G at a 48k-token chat prefill), which OOMs next to
+    the resident params; per-layer temps are ~50MB and the op is pure
+    bandwidth (~2G moved) either way."""
+    cap = cache.k.shape[2]
+    quantized = cache.k_scale is not None
+    dtype = cache.k.dtype
+
+    def one_layer(kv):
+        kl = jnp.swapaxes(kv[0], 0, 1)  # (KVH, S, HD)
+        vl = jnp.swapaxes(kv[1], 0, 1)
+        pad = ((0, 0), (0, cap - kl.shape[1]), (0, 0))
+        if quantized:
+            kl, sk = _quant(kl)
+            vl, sv = _quant(vl)
+            spad = ((0, 0), (0, cap - sk.shape[1]))
+            return (jnp.pad(kl, pad), jnp.pad(vl, pad),
+                    jnp.pad(sk, spad), jnp.pad(sv, spad))
+        return jnp.pad(kl.astype(dtype), pad), jnp.pad(vl.astype(dtype), pad)
+
+    outs = jax.lax.map(one_layer, (prefill_kv["k"], prefill_kv["v"]))
+    if quantized:
+        k, v, ks, vs = outs
+    else:
+        (k, v), ks, vs = outs, None, None
     return KVCache(k, v, ks, vs, jnp.asarray(valid_len, jnp.int32))
 
 

@@ -9,6 +9,7 @@ bucket, cached across calls.
 from __future__ import annotations
 
 import functools
+import time
 from typing import Dict, List, Optional, Sequence
 
 import jax
@@ -127,6 +128,11 @@ class G2VLMPipeline:
 
     def _make_chat_prefill_fn(self, key: "_HashableArrays"):
         prefill, vit_coords, vit_seg = key.payload
+        # convert OUTSIDE the traced fn: inside a trace jnp.asarray yields a
+        # Tracer, which would disable prefill_hidden's host-side ViT
+        # row-chunking (the memory lever for many-image chat prefills)
+        vit_coords_j = jnp.asarray(vit_coords)
+        vit_seg_j = jnp.asarray(vit_seg)
 
         def fn(params, dino_images, vit_patches):
             return jg.prefill_hidden(
@@ -137,8 +143,8 @@ class G2VLMPipeline:
                 compute_dtype=self.compute_dtype,
                 attn_impl=self.attn_impl,
                 vit_patches=vit_patches,
-                vit_coords=jnp.asarray(vit_coords),
-                vit_seg=jnp.asarray(vit_seg),
+                vit_coords=vit_coords_j,
+                vit_seg=vit_seg_j,
                 return_kv=True,
             )
 
@@ -290,6 +296,7 @@ class G2VLMPipeline:
         fn = self._chat_prefill_jit(
             _HashableArrays((prefill, vit_coords, vit_seg))
         )
+        t0 = time.perf_counter()
         _, kv = fn(self.params, normed, jnp.asarray(vit_patches))
         if mem_probe is not None:
             jax.block_until_ready(kv)
@@ -306,10 +313,18 @@ class G2VLMPipeline:
             kv, jnp.asarray(prefill.seq_len, jnp.int32), self.cfg.llm,
             capacity, dtype=self.compute_dtype, quantized=quantized_kv,
         )
+        # build_cache donated kv, but the bf16->int8/head-major transform
+        # can't alias buffers — drop the Python ref NOW or the dead 1.4G
+        # prefill KV stays resident through the whole decode (long-context
+        # chat OOMs on exactly this margin)
+        del kv
         if mem_probe is not None:
-            del kv
             jax.block_until_ready(cache)
             mem_probe(f"cache built (capacity={capacity})")
+        if return_info:
+            jax.block_until_ready(cache)
+            t_prefill = time.perf_counter() - t0
+            t0 = time.perf_counter()
 
         toks, num, _ = decoding.generate(
             self.params["llm"],
@@ -324,6 +339,9 @@ class G2VLMPipeline:
             rng_key=jax.random.PRNGKey(seed),
             compute_dtype=self.compute_dtype,
         )
+        if return_info:
+            jax.block_until_ready(toks)
+            t_decode = time.perf_counter() - t0
         ids = np.asarray(toks)[: int(num)]
         if len(ids) and ids[-1] == self.new_token_ids["eos_token_id"]:
             ids = ids[:-1]
@@ -336,5 +354,10 @@ class G2VLMPipeline:
                 "num_tokens": int(num),
                 "prefill_len": int(prefill.seq_len),
                 "n_views": int(n),
+                # stage timings (host-synced): prefill covers preprocess +
+                # encoder/decoder prefill + cache build; decode is the
+                # generate while_loop alone
+                "t_prefill_s": t_prefill,
+                "t_decode_s": t_decode,
             }
         return text

@@ -362,9 +362,15 @@ def prefill_hidden(
         from . import qwen_vit
 
         if vit_coords is not None:
+            # chunk big multi-image encodes so the tower's live activations
+            # stay bounded (concrete seg only — traced seg means a caller
+            # like the trainer owns its own memory strategy)
+            chunks = 1
+            if not isinstance(vit_seg, jax.core.Tracer):
+                chunks = qwen_vit.packed_row_chunks(vit_seg)
             vit_emb = qwen_vit.encode_packed(
                 params["vit"], vit_patches, vit_coords, vit_seg, cfg.vit,
-                compute_dtype, attn_impl=attn_impl,
+                compute_dtype, attn_impl=attn_impl, row_chunks=chunks,
             )[: len(prefill.vit_indexes)]
         else:
             vit_emb = qwen_vit.encode(

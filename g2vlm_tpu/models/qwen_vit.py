@@ -120,13 +120,43 @@ def encode_packed(
     cfg: VitConfig,
     compute_dtype=jnp.float32,
     attn_impl: str = "auto",
+    row_chunks: int = 1,
 ) -> jax.Array:
     """Packed multi-image encode for training: arbitrary per-image grids in
     one static-shape program (the reference feeds variable grids through
     flash-attn cu_seqlens, modeling_qwen2_vl.py:1048-1072; here each image is
     an attention segment). Returns (P//4, hidden_size) merged tokens in image
     order; rows from padding segments are garbage — callers drop them via
-    out-of-bounds scatter indices."""
+    out-of-bounds scatter indices.
+
+    row_chunks > 1 runs the WHOLE tower on P/row_chunks-row slices under
+    lax.map — images never attend across each other, so any image-aligned
+    row split is exact while live activations shrink by the chunk factor
+    (a 32-image 768px chat prefill otherwise keeps ~93k-row MLP buffers in
+    the temp arena, which doesn't fit next to the resident params). Callers
+    must pick boundaries that don't split a segment (see
+    packed_row_chunks)."""
+    if row_chunks > 1:
+        p_tot = patches.shape[0]
+        assert p_tot % row_chunks == 0, (p_tot, row_chunks)
+        rpc = p_tot // row_chunks
+
+        def one(args):
+            return encode_packed(
+                params, args[0], args[1], args[2], cfg, compute_dtype,
+                attn_impl=attn_impl,
+            )
+
+        out = jax.lax.map(
+            one,
+            (
+                patches.reshape(row_chunks, rpc, patches.shape[1]),
+                coords.reshape(row_chunks, rpc, 2),
+                seg_id.reshape(row_chunks, rpc),
+            ),
+        )
+        return out.reshape(p_tot // 4, out.shape[-1])
+
     p_tot = patches.shape[0]
     dt = compute_dtype
     d, nh, hd = cfg.embed_dim, cfg.num_heads, cfg.head_dim
@@ -159,6 +189,27 @@ def encode_packed(
     x = _lin(x, mp["fc1"], dt)
     x = jax.nn.gelu(x, approximate=False)
     return _lin(x, mp["fc2"], dt)
+
+
+def packed_row_chunks(seg_id, max_rows: int = 16384) -> int:
+    """Largest valid lax.map chunking of a packed layout: the smallest chunk
+    count whose equal row slices are <= max_rows, never split a segment, and
+    keep the 4-row merge groups whole. 1 (no chunking) when the layout
+    already fits or no clean split exists. Host-side (concrete seg only)."""
+    seg = np.asarray(seg_id)
+    p = len(seg)
+    if p <= max_rows:
+        return 1
+    for c in (2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64):
+        if p % c:
+            continue
+        rpc = p // c
+        if rpc > max_rows or rpc % 4:
+            continue
+        bounds = np.arange(1, c) * rpc
+        if all(seg[b - 1] != seg[b] or seg[b] < 0 for b in bounds):
+            return c
+    return 1
 
 
 def pack_views(views, pad_to: int = 0, patch_dim: int = 1176):

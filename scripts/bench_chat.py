@@ -30,28 +30,27 @@ def bench_one(pipe, images, prompt, n_new, label, quantized_kv=False):
     _, info = pipe.chat(images, prompt, max_new_tokens=n_new, **kw)
     compile_s = time.perf_counter() - t0
 
-    # TTFT: prefill + 1 decode step
-    ts = []
+    # TTFT: prefill-stage time + 1 decode step (stage timings are
+    # host-synced inside pipeline.chat — deriving decode tok/s from
+    # end-to-end subtraction drowns in prefill run-to-run variance)
+    one = []
     for _ in range(3):
-        t0 = time.perf_counter()
-        pipe.chat(images, prompt, max_new_tokens=1, **kw)
-        ts.append(time.perf_counter() - t0)
-    ttft = min(ts)
+        _, inf = pipe.chat(images, prompt, max_new_tokens=1, **kw)
+        one.append(inf["t_prefill_s"] + inf["t_decode_s"])
+    ttft = min(one)
 
-    # full decode: tok/s from the marginal time over the TTFT run
-    ts = []
-    nums = []
+    runs = []
     for _ in range(3):
-        t0 = time.perf_counter()
         _, inf = pipe.chat(images, prompt, max_new_tokens=n_new, **kw)
-        ts.append(time.perf_counter() - t0)
-        nums.append(inf["num_tokens"])
-    total = min(ts)
-    n_gen = max(min(nums), 1)
-    tps = max(n_gen - 1, 1) / max(total - ttft, 1e-9)
+        runs.append(inf)
+    best = min(runs, key=lambda r: r["t_decode_s"])
+    n_gen = max(best["num_tokens"], 1)
+    tps = n_gen / best["t_decode_s"]
+    total = best["t_prefill_s"] + best["t_decode_s"]
     print(
         f"{label}: prefill_len={info['prefill_len']} views={info['n_views']} "
-        f"TTFT={ttft*1e3:.0f} ms  decode={tps:.1f} tok/s "
+        f"TTFT={ttft*1e3:.0f} ms (prefill {best['t_prefill_s']*1e3:.0f} ms)  "
+        f"decode={tps:.1f} tok/s "
         f"({n_gen} toks, total {total*1e3:.0f} ms, first-call compile "
         f"{compile_s:.0f}s)",
         flush=True,
