@@ -131,6 +131,33 @@ def test_encode_packed_matches_grid_encode(rng):
     )
 
 
+def test_encode_packed_row_chunks_exact(rng):
+    """Chunked lax.map encode == one-shot encode (images are independent
+    attention segments, so image-aligned splits are exact)."""
+    cfg = tiny_test_config()
+    params = qwen_vit.init_params(cfg.vit, jax.random.PRNGKey(3))
+    views = [_vit_view(rng) for _ in range(4)]  # 16 rows each
+    pats, coords, seg, n_merged = qwen_vit.pack_views(views)
+
+    # chunk picker: 64 rows, force small max_rows to exercise the search
+    assert qwen_vit.packed_row_chunks(seg, max_rows=64) == 1
+    assert qwen_vit.packed_row_chunks(seg, max_rows=32) == 2
+    assert qwen_vit.packed_row_chunks(seg, max_rows=16) == 4
+
+    kw = dict(cfg=cfg.vit, attn_impl="dense")
+    ref = qwen_vit.encode_packed(
+        params, jnp.asarray(pats), jnp.asarray(coords), jnp.asarray(seg), **kw
+    )
+    for chunks in (2, 4):
+        out = qwen_vit.encode_packed(
+            params, jnp.asarray(pats), jnp.asarray(coords), jnp.asarray(seg),
+            row_chunks=chunks, **kw
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+
 def test_packer_emits_fixed_vit_arrays(rng):
     batch = _pack_joint(rng, max_vit_patches=32)
     assert batch["vit_patches"].shape == (32, 1176)
