@@ -338,6 +338,53 @@ def _generate_loop(
 
 @functools.partial(
     jax.jit,
+    static_argnames=("cfg", "compute_dtype"),
+    donate_argnums=(1,),
+)
+def extend_cache(
+    params: Dict,
+    cache: KVCache,
+    tokens: jax.Array,  # (T,) int32 — e.g. a follow-up user turn; pad to a
+    # bucket so turn lengths share one program
+    rope_pos: jax.Array,  # () int32 — rope position of tokens[0]
+    cfg: LLMConfig,
+    n_tokens: Optional[jax.Array] = None,  # () int32 — real prefix of tokens
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jax.Array, KVCache]:
+    """Teacher-forced cache extension for multi-turn chat: feed `tokens`
+    through the decode step (each appends its KV row in place), discarding
+    the sampled outputs. Returns (last token's logits (V,), cache').
+
+    The reference has no multi-turn API at all (chat_with_recon rebuilds the
+    full prefill per question, g2vlm.py:1306-1410); here a follow-up turn
+    costs T decode steps against the live cache instead of a fresh ~48k
+    prefill. Token-for-token identical to having included the text in the
+    prefill: text rows are causal and their mRoPE position is the scalar
+    rope counter, exactly like decode rows."""
+    t = tokens.shape[0]
+    n = jnp.asarray(t if n_tokens is None else n_tokens, jnp.int32)
+    v = params["lm_head"].shape[1]
+
+    def body(state):
+        i, pos, cache, logits = state
+        logits, cache = decode_step(
+            params, cache, tokens[i], pos, cfg, compute_dtype
+        )
+        return (i + 1, pos + 1, cache, logits)
+
+    def cond(state):
+        return state[0] < n
+
+    _, _, cache, logits = jax.lax.while_loop(
+        cond, body,
+        (jnp.zeros((), jnp.int32), rope_pos.astype(jnp.int32), cache,
+         jnp.zeros((v,), jnp.float32)),
+    )
+    return logits, cache
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("cfg", "max_new_tokens", "do_sample", "compute_dtype"),
     donate_argnums=(1,),  # cache buffers alias the loop carry in place on
     # TPU (no donation -> input copy -> 2x KV residency); callers must not

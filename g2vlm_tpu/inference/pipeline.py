@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import functools
 import time
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -57,6 +57,19 @@ class _HashableArrays:
             else x == y
             for x, y in zip(a, b)
         )
+
+
+class ChatSession(NamedTuple):
+    """Live multi-turn chat state (serving extension — the reference has no
+    multi-turn API; chat_with_recon rebuilds the full prefill per question,
+    g2vlm.py:1306-1410). The cache is consumed (donated) by chat_continue:
+    use each session object at most once."""
+
+    cache: object  # decoding.KVCache
+    next_rope_pos: int
+    pending_token: int  # emitted but not yet consumed (eos on a clean stop)
+    capacity: int
+    quantized_kv: bool
 
 
 class G2VLMPipeline:
@@ -255,6 +268,8 @@ class G2VLMPipeline:
         return_info: bool = False,
         quantized_kv: bool = False,
         mem_probe=None,  # optional callable(tag) for HBM diagnostics
+        return_session: bool = False,
+        session_reserve: int = 2048,  # extra cache capacity for follow-ups
     ) -> str:
         from ..data.vit_preprocess import preprocess_vit_image
         from . import decoding
@@ -302,8 +317,9 @@ class G2VLMPipeline:
             jax.block_until_ready(kv)
             mem_probe(f"chat prefill done (S={prefill.seq_len})")
 
+        reserve = session_reserve if return_session else 0
         capacity = max(
-            _round_up(prefill.seq_len + max_new_tokens + 8, 128),
+            _round_up(prefill.seq_len + max_new_tokens + reserve + 8, 128),
             len(prefill.doc_id),
         )
         # only the first seq_len rows are valid KV (padding rows masked by
@@ -326,7 +342,7 @@ class G2VLMPipeline:
             t_prefill = time.perf_counter() - t0
             t0 = time.perf_counter()
 
-        toks, num, _ = decoding.generate(
+        toks, num, cache_out = decoding.generate(
             self.params["llm"],
             cache,
             jnp.asarray(start_token, jnp.int32),
@@ -343,12 +359,28 @@ class G2VLMPipeline:
             jax.block_until_ready(toks)
             t_decode = time.perf_counter() - t0
         ids = np.asarray(toks)[: int(num)]
+        session = None
+        if return_session:
+            # pos advanced by the consumed tokens: start + (num-1) generated;
+            # the final emitted token (eos on a clean stop) was never
+            # consumed — chat_continue feeds it first
+            last = int(ids[-1]) if len(ids) else int(start_token)
+            session = ChatSession(
+                cache=cache_out,
+                next_rope_pos=int(prefill.next_rope_pos) + int(num),
+                pending_token=last,
+                capacity=capacity,
+                quantized_kv=quantized_kv,
+            )
+        del cache_out
         if len(ids) and ids[-1] == self.new_token_ids["eos_token_id"]:
             ids = ids[:-1]
         if self.tokenizer is None:
             text = " ".join(map(str, ids.tolist()))
         else:
             text = self.tokenizer.decode(ids.tolist())
+        if return_session:
+            return text, session
         if return_info:
             return text, {
                 "num_tokens": int(num),
@@ -361,3 +393,70 @@ class G2VLMPipeline:
                 "t_decode_s": t_decode,
             }
         return text
+
+    def chat_continue(
+        self,
+        session: ChatSession,
+        prompt: str,
+        max_new_tokens: int = 100,
+        do_sample: bool = False,
+        temperature: float = 1.0,
+        seed: int = 0,
+    ):
+        """Follow-up turn on a live session from chat(return_session=True).
+        Costs len(turn) decode steps against the resident cache instead of a
+        fresh multi-view prefill. Returns (text, new_session); `session` is
+        consumed (its cache buffers are donated)."""
+        from . import decoding
+
+        ids = [session.pending_token] + self._encode_text(
+            "\n<|im_start|>user\n" + prompt + "<|im_end|>\n<|im_start|>assistant"
+        )
+        n = len(ids)
+        need = n + max_new_tokens + 2
+        have = session.capacity - (session.next_rope_pos + 1)
+        if need > have:
+            raise ValueError(
+                f"chat session cache exhausted (turn needs {need} rows, "
+                f"{have} free of {session.capacity}); start a new chat with "
+                f"a larger session_reserve"
+            )
+        pad = _round_up(n, 64)
+        buf = np.zeros(pad, np.int32)
+        buf[:n] = ids
+        _, cache = decoding.extend_cache(
+            self.params["llm"],
+            session.cache,
+            jnp.asarray(buf),
+            jnp.asarray(session.next_rope_pos, jnp.int32),
+            self.cfg.llm,
+            n_tokens=jnp.asarray(n, jnp.int32),
+            compute_dtype=self.compute_dtype,
+        )
+        toks, num, cache_out = decoding.generate(
+            self.params["llm"],
+            cache,
+            jnp.asarray(self._start_token(), jnp.int32),
+            jnp.asarray(session.next_rope_pos + n, jnp.int32),
+            eos_token_id=self.new_token_ids["eos_token_id"],
+            cfg=self.cfg.llm,
+            max_new_tokens=max_new_tokens,
+            do_sample=do_sample,
+            temperature=temperature,
+            rng_key=jax.random.PRNGKey(seed),
+            compute_dtype=self.compute_dtype,
+        )
+        out = np.asarray(toks)[: int(num)]
+        last = int(out[-1]) if len(out) else int(self._start_token())
+        new_session = session._replace(
+            cache=cache_out,
+            next_rope_pos=session.next_rope_pos + n + int(num),
+            pending_token=last,
+        )
+        if len(out) and out[-1] == self.new_token_ids["eos_token_id"]:
+            out = out[:-1]
+        if self.tokenizer is None:
+            text = " ".join(map(str, out.tolist()))
+        else:
+            text = self.tokenizer.decode(out.tolist())
+        return text, new_session

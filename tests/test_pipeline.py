@@ -42,6 +42,73 @@ def test_recon_pipeline_and_ply(pipe, tmp_path, rng):
     assert (tmp_path / "o.ply").stat().st_size > 0
 
 
+def test_extend_cache_matches_prefill(pipe):
+    """Teacher-forced extend_cache == having the same text in the prefill:
+    the multi-turn continuation path must be token-for-token identical."""
+    cfg = pipe.cfg
+    llm = pipe.params["llm"]
+    toks = [5, 12, 7, 30, 9, 21]
+
+    # path A: packed prefill of the text -> cache
+    b = jg.SequenceBuilder(11, 12)
+    b.add_text(toks)
+    pre = b.build(pad_to=8)
+    _, kv = jg.prefill_hidden(
+        pipe.params, pre, None, cfg, compute_dtype=jnp.float32,
+        attn_impl="dense", return_kv=True,
+    )
+    cache_a = decoding.build_cache(
+        kv, jnp.asarray(pre.seq_len, jnp.int32), cfg.llm, 64,
+        dtype=jnp.float32,
+    )
+    out_a, na, _ = decoding.generate(
+        llm, cache_a, jnp.asarray(3), jnp.asarray(pre.next_rope_pos),
+        eos_token_id=8, cfg=cfg.llm, max_new_tokens=6,
+        compute_dtype=jnp.float32,
+    )
+
+    # path B: empty cache + extend_cache over the same tokens (padded)
+    buf = np.zeros(8, np.int32)
+    buf[: len(toks)] = toks
+    _, cache_b = decoding.extend_cache(
+        llm, decoding.make_cache(cfg.llm, 64, dtype=jnp.float32),
+        jnp.asarray(buf), jnp.asarray(0, jnp.int32), cfg.llm,
+        n_tokens=jnp.asarray(len(toks), jnp.int32),
+        compute_dtype=jnp.float32,
+    )
+    assert int(cache_b.length) == len(toks)
+    out_b, nb, _ = decoding.generate(
+        llm, cache_b, jnp.asarray(3), jnp.asarray(len(toks)),
+        eos_token_id=8, cfg=cfg.llm, max_new_tokens=6,
+        compute_dtype=jnp.float32,
+    )
+    assert int(na) == int(nb)
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+
+
+def test_chat_session_continuation(pipe, rng):
+    """Multi-turn serving API: session round-trips and a follow-up turn
+    decodes against the live cache."""
+    from PIL import Image
+
+    img = Image.fromarray((rng.random((54, 76, 3)) * 255).astype(np.uint8))
+    text1, session = pipe.chat(
+        [img], "what is here", max_new_tokens=5, new_width=56,
+        return_session=True,
+    )
+    assert session.cache.length.shape == ()
+    base_rows = int(session.cache.length)
+    text2, session2 = pipe.chat_continue(
+        session, "and how far away", max_new_tokens=5
+    )
+    assert isinstance(text2, str)
+    assert int(session2.cache.length) > base_rows
+    assert session2.next_rope_pos > session.next_rope_pos
+    # single-turn output is unchanged by requesting a session
+    text1b = pipe.chat([img], "what is here", max_new_tokens=5, new_width=56)
+    assert text1 == text1b
+
+
 def test_generate_deterministic_greedy(pipe):
     cfg = pipe.cfg.llm
     llm = pipe.params["llm"]
