@@ -307,12 +307,28 @@ class G2VLMPipeline:
 
         start_token = self._start_token()
 
-        normed = jnp.asarray(resnet_normalize(views))
+        # upload in compute dtype: the first consumer casts to bf16 anyway,
+        # and halving the bytes matters through the high-latency device link
+        # (32-view chat moves ~250MB of ViT patches per call)
+        normed = resnet_normalize(views).astype(
+            np.dtype(self.compute_dtype)
+        )
+        vit_patches = vit_patches.astype(np.dtype(self.compute_dtype))
         fn = self._chat_prefill_jit(
             _HashableArrays((prefill, vit_coords, vit_seg))
         )
+        t_upload = None
+        if return_info:
+            t0 = time.perf_counter()
+            normed, vit_patches = jax.block_until_ready(
+                jax.device_put((normed, vit_patches))
+            )
+            t_upload = time.perf_counter() - t0
         t0 = time.perf_counter()
-        _, kv = fn(self.params, normed, jnp.asarray(vit_patches))
+        _, kv = fn(self.params, jnp.asarray(normed), jnp.asarray(vit_patches))
+        if return_info:
+            jax.block_until_ready(kv)
+            t_forward = time.perf_counter() - t0
         if mem_probe is not None:
             jax.block_until_ready(kv)
             mem_probe(f"chat prefill done (S={prefill.seq_len})")
@@ -339,7 +355,8 @@ class G2VLMPipeline:
             mem_probe(f"cache built (capacity={capacity})")
         if return_info:
             jax.block_until_ready(cache)
-            t_prefill = time.perf_counter() - t0
+            t_cache = time.perf_counter() - t0 - t_forward
+            t_prefill = t_upload + t_forward + t_cache
             t0 = time.perf_counter()
 
         toks, num, cache_out = decoding.generate(
@@ -386,10 +403,13 @@ class G2VLMPipeline:
                 "num_tokens": int(num),
                 "prefill_len": int(prefill.seq_len),
                 "n_views": int(n),
-                # stage timings (host-synced): prefill covers preprocess +
-                # encoder/decoder prefill + cache build; decode is the
-                # generate while_loop alone
+                # stage timings (host-synced): prefill = upload + prefill
+                # forward + cache build; decode is the generate while_loop
+                # alone (host text preprocess is outside all of them)
                 "t_prefill_s": t_prefill,
+                "t_upload_s": t_upload,
+                "t_forward_s": t_forward,
+                "t_cache_s": t_cache,
                 "t_decode_s": t_decode,
             }
         return text

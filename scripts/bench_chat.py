@@ -47,10 +47,15 @@ def bench_one(pipe, images, prompt, n_new, label, quantized_kv=False):
     n_gen = max(best["num_tokens"], 1)
     tps = n_gen / best["t_decode_s"]
     total = best["t_prefill_s"] + best["t_decode_s"]
+    split = ""
+    if best.get("t_upload_s") is not None:
+        split = (f" [upload {best['t_upload_s']*1e3:.0f} + forward "
+                 f"{best['t_forward_s']*1e3:.0f} + cache "
+                 f"{best['t_cache_s']*1e3:.0f} ms]")
     print(
         f"{label}: prefill_len={info['prefill_len']} views={info['n_views']} "
-        f"TTFT={ttft*1e3:.0f} ms (prefill {best['t_prefill_s']*1e3:.0f} ms)  "
-        f"decode={tps:.1f} tok/s "
+        f"TTFT={ttft*1e3:.0f} ms (prefill {best['t_prefill_s']*1e3:.0f} ms"
+        f"{split})  decode={tps:.1f} tok/s "
         f"({n_gen} toks, total {total*1e3:.0f} ms, first-call compile "
         f"{compile_s:.0f}s)",
         flush=True,
