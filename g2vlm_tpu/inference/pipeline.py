@@ -99,6 +99,9 @@ class G2VLMPipeline:
         self._chat_prefill_jit = functools.lru_cache(maxsize=8)(
             self._make_chat_prefill_fn
         )
+        self._chat_prefill_u8_jit = functools.lru_cache(maxsize=8)(
+            self._make_chat_prefill_u8_fn
+        )
 
     # ------------------------------------------------------------------
     def _encode_text(self, text: str, add_bos: bool = False) -> List[int]:
@@ -152,6 +155,40 @@ class G2VLMPipeline:
                 params,
                 prefill,
                 dino_images,
+                self.cfg,
+                compute_dtype=self.compute_dtype,
+                attn_impl=self.attn_impl,
+                vit_patches=vit_patches,
+                vit_coords=vit_coords_j,
+                vit_seg=vit_seg_j,
+                return_kv=True,
+            )
+
+        return jax.jit(fn)
+
+    def _make_chat_prefill_u8_fn(self, key: "_HashableArrays"):
+        """Device-preprocess chat prefill: ONE program does dino resize/
+        normalize + Qwen-ViT bicubic/CLIP/patchify from raw uint8 frames,
+        then the packed prefill (serving counterpart of chat()'s host path,
+        like recon_from_frames vs recon)."""
+        prefill, vit_coords, vit_seg, dims = key.payload
+        h0, w0, th, tw, pat_pad = dims
+        vit_coords_j = jnp.asarray(vit_coords)
+        vit_seg_j = jnp.asarray(vit_seg)
+
+        def fn(params, frames):
+            from ..data.device_preprocess import (
+                preprocess_views_device, preprocess_vit_frames_device,
+            )
+
+            views = preprocess_views_device(frames, (th, tw))
+            vit_patches = preprocess_vit_frames_device(
+                frames, pad_to=pat_pad, out_dtype=self.compute_dtype
+            )
+            return jg.prefill_hidden(
+                params,
+                prefill,
+                views.astype(self.compute_dtype),
                 self.cfg,
                 compute_dtype=self.compute_dtype,
                 attn_impl=self.attn_impl,
@@ -270,34 +307,79 @@ class G2VLMPipeline:
         mem_probe=None,  # optional callable(tag) for HBM diagnostics
         return_session: bool = False,
         session_reserve: int = 2048,  # extra cache capacity for follow-ups
+        device_preprocess: bool = False,
     ) -> str:
-        from ..data.vit_preprocess import preprocess_vit_image
         from . import decoding
 
-        views = load_views(images, new_width=new_width)
-        n, _, h, w = views.shape
         p = self.cfg.dino_patch_size
 
-        from ..models.qwen_vit import pack_views
+        frames = None
+        if device_preprocess:
+            # serving fast path: upload raw uint8 frames ONCE and run BOTH
+            # image preprocesses (dino resize/normalize + Qwen-ViT bicubic/
+            # CLIP/patchify) on device inside the prefill program — for
+            # 32-view chat this moves ~50MB over the link instead of ~250MB
+            # of host-built patches. Requires uniform frame shapes; numerics
+            # deviate from the PIL host path at serving tolerance (see
+            # data/device_preprocess.py docstrings).
+            from PIL import Image
 
-        # per-image grids supported (reference feeds variable grid_thw through
-        # flash-attn cu_seqlens, modeling_qwen2_vl.py:1048-1072; here each
-        # image is an attention segment in encode_packed)
-        vit_inputs = [preprocess_vit_image(im) for im in images]
-        vit_views = [
-            {"patches": pats, "grid_thw": grid} for pats, grid in vit_inputs
-        ]
-        n_pat = sum(int(np.prod(g)) for _, g in vit_inputs)
-        vit_patches, vit_coords, vit_seg, _ = pack_views(
-            vit_views, pad_to=_round_up(n_pat, 8)
-        )
+            arrs = [
+                np.asarray(Image.open(im).convert("RGB"))
+                if isinstance(im, str) else np.asarray(im)
+                for im in images
+            ]
+            if len({a.shape for a in arrs}) == 1:
+                frames = np.stack(arrs)
+            else:
+                images = arrs  # non-uniform: fall through to the host path
+
+        if frames is not None:
+            from ..data.device_preprocess import target_hw, vit_device_grid
+            from ..models.qwen_vit import merge_permuted_hw_coords
+
+            n, h0, w0, _ = frames.shape
+            h, w = target_hw(h0, w0, new_width, p)
+            grid = vit_device_grid()
+            per = int(np.prod(grid))
+            n_pat = n * per
+            pat_pad = _round_up(n_pat, 8)
+            vit_coords = np.concatenate(
+                [merge_permuted_hw_coords(grid)] * n
+                + [np.zeros((pat_pad - n_pat, 2), np.int64)]
+            )
+            vit_seg = np.concatenate([
+                np.repeat(np.arange(n, dtype=np.int32), per),
+                np.full(pat_pad - n_pat, -1, np.int32),
+            ])
+            vit_grids = [grid] * n
+        else:
+            from ..data.vit_preprocess import preprocess_vit_image
+            from ..models.qwen_vit import pack_views
+
+            views = load_views(images, new_width=new_width)
+            n, _, h, w = views.shape
+
+            # per-image grids supported (reference feeds variable grid_thw
+            # through flash-attn cu_seqlens, modeling_qwen2_vl.py:1048-1072;
+            # here each image is an attention segment in encode_packed)
+            vit_inputs = [preprocess_vit_image(im) for im in images]
+            vit_views = [
+                {"patches": pats, "grid_thw": grid} for pats, grid in vit_inputs
+            ]
+            n_pat = sum(int(np.prod(g)) for _, g in vit_inputs)
+            pat_pad = _round_up(n_pat, 8)
+            vit_patches, vit_coords, vit_seg, _ = pack_views(
+                vit_views, pad_to=pat_pad
+            )
+            vit_grids = [g for _, g in vit_inputs]
 
         b = jg.SequenceBuilder(
             self.new_token_ids["start_of_image"], self.new_token_ids["end_of_image"]
         )
         b.add_text(self._encode_text(self.SYSTEM_PROMPT))
         b.add_dino_images(n, h // p, w // p)
-        for _, (_, gh, gw) in vit_inputs:
+        for _, gh, gw in vit_grids:
             b.add_vit_image(gh // 2, gw // 2)
         b.add_text(
             self._encode_text(prompt + "<|im_end|>\n<|im_start|>assistant")
@@ -307,25 +389,32 @@ class G2VLMPipeline:
 
         start_token = self._start_token()
 
-        # upload in compute dtype: the first consumer casts to bf16 anyway,
-        # and halving the bytes matters through the high-latency device link
-        # (32-view chat moves ~250MB of ViT patches per call)
-        normed = resnet_normalize(views).astype(
-            np.dtype(self.compute_dtype)
-        )
-        vit_patches = vit_patches.astype(np.dtype(self.compute_dtype))
-        fn = self._chat_prefill_jit(
-            _HashableArrays((prefill, vit_coords, vit_seg))
-        )
+        if frames is not None:
+            fn = self._chat_prefill_u8_jit(
+                _HashableArrays(
+                    (prefill, vit_coords, vit_seg, (h0, w0, h, w, pat_pad))
+                )
+            )
+            upload = (frames,)
+        else:
+            # upload in compute dtype: the first consumer casts to bf16
+            # anyway, and halving the bytes matters through the high-latency
+            # device link (32-view chat moves ~250MB of ViT patches per call)
+            normed = resnet_normalize(views).astype(
+                np.dtype(self.compute_dtype)
+            )
+            vit_patches = vit_patches.astype(np.dtype(self.compute_dtype))
+            fn = self._chat_prefill_jit(
+                _HashableArrays((prefill, vit_coords, vit_seg))
+            )
+            upload = (normed, vit_patches)
         t_upload = None
         if return_info:
             t0 = time.perf_counter()
-            normed, vit_patches = jax.block_until_ready(
-                jax.device_put((normed, vit_patches))
-            )
+            upload = jax.block_until_ready(jax.device_put(upload))
             t_upload = time.perf_counter() - t0
         t0 = time.perf_counter()
-        _, kv = fn(self.params, jnp.asarray(normed), jnp.asarray(vit_patches))
+        _, kv = fn(self.params, *(jnp.asarray(u) for u in upload))
         if return_info:
             jax.block_until_ready(kv)
             t_forward = time.perf_counter() - t0

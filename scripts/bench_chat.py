@@ -23,8 +23,13 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def bench_one(pipe, images, prompt, n_new, label, quantized_kv=False):
-    kw = dict(return_info=True, quantized_kv=quantized_kv)
+def bench_one(pipe, images, prompt, n_new, label, quantized_kv=False,
+              device_preprocess=True):
+    # device_preprocess: serving fast path — raw uint8 frames up, dino+ViT
+    # resize/normalize/patchify fused into the prefill program (5x less
+    # link traffic at 32 views than host-built fp32/bf16 patches)
+    kw = dict(return_info=True, quantized_kv=quantized_kv,
+              device_preprocess=device_preprocess)
     # warm compile (prefill program + decode program for this shape)
     t0 = time.perf_counter()
     _, info = pipe.chat(images, prompt, max_new_tokens=n_new, **kw)

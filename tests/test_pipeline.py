@@ -205,3 +205,23 @@ def test_generate_batched_matches_single(pipe):
     for i, (toks, n) in enumerate(singles):
         np.testing.assert_array_equal(np.asarray(toks_b)[i], toks)
         assert int(np.asarray(num_b)[i]) == n
+
+
+def test_chat_device_preprocess_matches_host_path(pipe, rng):
+    """chat(device_preprocess=True) — uint8 frames in, dino+ViT preprocess
+    fused on device — must build the identical packed prefill (same grids,
+    same length) as the host PIL path and decode cleanly."""
+    frames = [
+        (rng.random((54, 76, 3)) * 255).astype(np.uint8) for _ in range(2)
+    ]
+    a, info_a = pipe.chat(
+        frames, "what is here?", max_new_tokens=4, return_info=True,
+        device_preprocess=True,
+    )
+    b, info_b = pipe.chat(
+        frames, "what is here?", max_new_tokens=4, return_info=True,
+    )
+    assert info_a["prefill_len"] == info_b["prefill_len"]
+    assert info_a["n_views"] == info_b["n_views"] == 2
+    assert info_a["num_tokens"] > 0
+    assert isinstance(a, str) and isinstance(b, str)
