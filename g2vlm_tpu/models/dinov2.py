@@ -165,6 +165,7 @@ def encode(
     images: jax.Array,  # (B, C, H, W), RESNET-normalized
     cfg: DinoConfig,
     compute_dtype=jnp.float32,
+    remat: bool = False,
 ) -> jax.Array:
     """Full encoder; returns patch tokens only (B, hp*wp, D), CLS+registers
     stripped (reference dinov2_model.py:354)."""
@@ -216,6 +217,11 @@ def encode(
         x = x + h2 * lp["ls2"].astype(compute_dtype)
         return x, None
 
+    if remat:
+        # training: recompute each layer in the bwd instead of saving its
+        # attention/MLP intermediates (24 layers x 40 views of fp32 score
+        # chunks otherwise dominate HBM at full train scale)
+        layer = jax.checkpoint(layer, prevent_cse=False)
     x, _ = jax.lax.scan(layer, x, params["layers"])
     x = layer_norm(x, params["final_norm"]["w"], params["final_norm"]["b"], eps)
     return x[:, 1 + cfg.num_register_tokens : s_real]

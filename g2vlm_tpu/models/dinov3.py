@@ -114,6 +114,7 @@ def encode(
     compute_dtype=jnp.float32,
     coord_rng: Optional[np.random.Generator] = None,
     training: bool = False,
+    remat: bool = False,
 ) -> jax.Array:
     """-> patch tokens (B, hp*wp, D), CLS+registers stripped (:539)."""
     b, c, h, w = images.shape
@@ -171,6 +172,8 @@ def encode(
         x = x + m * lp["ls2"].astype(dt)
         return x, None
 
+    if remat:
+        layer = jax.checkpoint(layer, prevent_cse=False)
     x, _ = jax.lax.scan(layer, x, params["layers"])
     x = layer_norm(x, params["final_norm"]["w"], params["final_norm"]["b"], eps)
     return x[:, n_prefix:]

@@ -308,7 +308,8 @@ class SequenceBuilder:
 # ---------------------------------------------------------------------------
 
 def encode_dino_to_llm(
-    params: Dict, dino_images: jax.Array, cfg: G2VLMConfig, compute_dtype
+    params: Dict, dino_images: jax.Array, cfg: G2VLMConfig, compute_dtype,
+    remat: bool = False,
 ) -> jax.Array:
     """Geometry-encoder encode + dino2llm projection (reference
     g2vlm.py:968-1010; DINOv3 alternative selected via use_dinov3,
@@ -318,10 +319,13 @@ def encode_dino_to_llm(
         from . import dinov3 as dinov3_mod
 
         tokens = dinov3_mod.encode(
-            params["dino"], dino_images, cfg.dinov3, compute_dtype
+            params["dino"], dino_images, cfg.dinov3, compute_dtype,
+            remat=remat,
         )
     else:
-        tokens = dinov2.encode(params["dino"], dino_images, cfg.dino, compute_dtype)
+        tokens = dinov2.encode(
+            params["dino"], dino_images, cfg.dino, compute_dtype, remat=remat
+        )
     n, hw, _ = tokens.shape
     proj = tokens.reshape(n * hw, -1).astype(compute_dtype) @ params["dino2llm"][
         "w"
@@ -462,6 +466,7 @@ def pi3_predict(
     img_hw: Tuple[int, int],
     cfg: G2VLMConfig,
     compute_dtype=jnp.float32,
+    remat: bool = False,
 ) -> Dict[str, jax.Array]:
     """3D heads over dino-position hidden states (reference
     g2vlm.py:1143-1238 `reconstruct`). Batch dim B folded into N (B=1 at
@@ -473,10 +478,12 @@ def pi3_predict(
     pos = pi3_heads.patch_positions(n, hp, wp)
 
     point_hidden = pi3_heads.decoder_forward(
-        params["point_decoder"], dino_hidden, pos, cfg.pi3, compute_dtype=compute_dtype
+        params["point_decoder"], dino_hidden, pos, cfg.pi3,
+        compute_dtype=compute_dtype, remat=remat,
     )
     camera_hidden = pi3_heads.decoder_forward(
-        params["camera_decoder"], dino_hidden, pos, cfg.pi3, compute_dtype=compute_dtype
+        params["camera_decoder"], dino_hidden, pos, cfg.pi3,
+        compute_dtype=compute_dtype, remat=remat,
     )
 
     # fp32 heads (reference g2vlm.py:1200-1226)
@@ -504,6 +511,7 @@ def pi3_predict(
             context=dino_hidden[:1],
             context_positions=pos[:1],
             compute_dtype=compute_dtype,
+            remat=remat,
         )
         out["global_points"] = pi3_heads.linear_pts3d(
             params["global_point_head"], global_hidden.astype(jnp.float32), (h, w), p
@@ -511,7 +519,7 @@ def pi3_predict(
     if cfg.train_conf_pi3 and "conf_decoder" in params:
         conf_hidden = pi3_heads.decoder_forward(
             params["conf_decoder"], dino_hidden, pos, cfg.pi3,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, remat=remat,
         )
         out["conf"] = pi3_heads.linear_pts3d(
             params["conf_head"], conf_hidden.astype(jnp.float32), (h, w), p

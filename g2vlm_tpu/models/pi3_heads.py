@@ -188,6 +188,7 @@ def decoder_forward(
     context: Optional[jax.Array] = None,  # (B*N, hw_ctx, D) for cross decoder
     context_positions: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
+    remat: bool = False,
 ) -> jax.Array:
     """Pi3TransformerDecoder / Pi3ContextTransformerDecoder. Output is
     linear_out(blocks(hidden)) of dim cfg.*_out_dim."""
@@ -246,6 +247,8 @@ def decoder_forward(
         x = x + _mlp(h, lp["mlp"], dt)
         return x, None
 
+    if remat:
+        block = jax.checkpoint(block, prevent_cse=False)
     x, _ = jax.lax.scan(block, x, params["blocks"])
     out = _lin(x, params["linear_out"], dt)
     return out[:, :s_real]

@@ -121,6 +121,7 @@ def encode_packed(
     compute_dtype=jnp.float32,
     attn_impl: str = "auto",
     row_chunks: int = 1,
+    remat: bool = False,
 ) -> jax.Array:
     """Packed multi-image encode for training: arbitrary per-image grids in
     one static-shape program (the reference feeds variable grids through
@@ -144,7 +145,7 @@ def encode_packed(
         def one(args):
             return encode_packed(
                 params, args[0], args[1], args[2], cfg, compute_dtype,
-                attn_impl=attn_impl,
+                attn_impl=attn_impl, remat=remat,
             )
 
         out = jax.lax.map(
@@ -181,6 +182,10 @@ def encode_packed(
         x = x + _lin(m, lp["fc2"], dt)
         return x, None
 
+    if remat:
+        # training: a 32-layer tower saving fp32 score chunks per layer is
+        # the single largest buffer at full train scale (24.5 GB) — recompute
+        block = jax.checkpoint(block, prevent_cse=False)
     x, _ = jax.lax.scan(block, x, params["blocks"])
 
     mp = params["merger"]

@@ -92,7 +92,9 @@ def train_forward(
     n, _, h, w = batch.dino_images.shape
     p = cfg.dino_patch_size
     hw = (h // p) * (w // p)
-    dino_emb = jg.encode_dino_to_llm(params, batch.dino_images, cfg, compute_dtype)
+    dino_emb = jg.encode_dino_to_llm(
+        params, batch.dino_images, cfg, compute_dtype, remat=remat
+    )
     seq = seq.at[batch.dino_indexes].set(dino_emb)
 
     # ViT branch: packed semantic image tokens scattered into the sequence
@@ -102,7 +104,7 @@ def train_forward(
 
         vit_emb = qwen_vit.encode_packed(
             params["vit"], batch.vit_patches, batch.vit_coords, batch.vit_seg,
-            cfg.vit, compute_dtype, attn_impl=attn_impl,
+            cfg.vit, compute_dtype, attn_impl=attn_impl, remat=remat,
         )
         seq = seq.at[batch.vit_indexes].set(
             vit_emb.astype(compute_dtype), mode="drop"
@@ -142,7 +144,8 @@ def train_forward(
     # --- Pi3 losses on dino-position hidden states (g2vlm.py:452-528) ---
     dino_hidden = hidden[batch.dino_indexes].reshape(n, hw, -1)
     preds = jg.pi3_predict(
-        params, dino_hidden, (h, w), cfg, compute_dtype=compute_dtype
+        params, dino_hidden, (h, w), cfg, compute_dtype=compute_dtype,
+        remat=remat,
     )
     pred = {
         "local_points": preds["local_points"][None],

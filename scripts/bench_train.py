@@ -71,9 +71,12 @@ def main():
     n = args.views
     rng = np.random.default_rng(0)
 
+    # sorted [und | geo] layout (packing.py sorted_layout): text + ViT first,
+    # dino spans last -> static geo_start drives the SPLIT expert mode
+    # (contiguous single-expert matmuls, 1x FLOPs — the production training
+    # configuration, train.py --sorted_layout)
     b = jg.SequenceBuilder(151652, 151653)
     b.add_text([151644] + list(rng.integers(100, 5000, 6)))
-    b.add_dino_images(n, hp, wp)
     vit_payload = {}
     if not args.no_vit:
         from g2vlm_tpu.models.qwen_vit import pack_views
@@ -96,13 +99,14 @@ def main():
         )
     q_ids = list(rng.integers(100, 5000, 24))
     b.add_text(q_ids)
+    n_ce = 16
+    ce_idx = np.arange(b.curr - n_ce, b.curr)
+    geo_start = b.curr  # [und | geo] boundary (padding rows land geo-side)
+    b.add_dino_images(n, hp, wp)
     assert b.curr <= args.tokens, (b.curr, args.tokens)
     pre = b.build(pad_to=args.tokens)
     print(f"pack: {pre.seq_len} real tokens (pad to {args.tokens}), "
-          f"{n} views @ {h}x{w}", flush=True)
-
-    n_ce = 16
-    ce_idx = np.arange(pre.seq_len - n_ce, pre.seq_len)
+          f"{n} views @ {h}x{w}, geo_start={geo_start}", flush=True)
     batch = trainer.TrainBatch(
         text_ids=jnp.asarray(pre.text_ids, jnp.int32),
         text_indexes=jnp.asarray(pre.text_indexes, jnp.int32),
@@ -141,26 +145,51 @@ def main():
     def loss_fn(p):
         total, details = trainer.train_forward(
             p, batch, cfg, compute_dtype=jnp.bfloat16, attn_impl="auto",
-            remat=True,
+            remat=True, geo_start=geo_start,
         )
         return total, details
 
-    grad_fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+    # consume grads INSIDE the program (global-norm reduction): a full bf16
+    # grad tree as program OUTPUT is another 9.35G next to 9.35G params +
+    # temps, which exceeds single-chip HBM. Production training shards
+    # params/grads over fsdp (the driver dryrun path); the fwd+bwd compute
+    # measured here is identical — XLA just frees each grad buffer at its
+    # reduction instead of keeping it live to the end.
+    def step_fn(p):
+        (loss, details), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(p)
+        gnorm = optax.global_norm(grads)
+        return loss, details, gnorm
+
+    grad_fn = jax.jit(step_fn)
+    if os.environ.get("G2VLM_LOWER_ONLY"):
+        txt = grad_fn.lower(params).as_text()
+        import re
+
+        sizes = {}
+        for m in re.finditer(r"tensor<([0-9x]+)x(f32|bf16|i32|i8)>", txt):
+            dims = [int(x) for x in m.group(1).split("x")]
+            b = int(np.prod(dims)) * (4 if m.group(2) in ("f32", "i32")
+                                      else 2 if m.group(2) == "bf16" else 1)
+            sizes[m.group(0)] = b
+        for k, v in sorted(sizes.items(), key=lambda kv: -kv[1])[:20]:
+            print(f"{v/1e9:8.2f} GB  {k}")
+        return
     t0 = time.perf_counter()
-    (loss, details), grads = grad_fn(params)
-    np.asarray(jax.tree.leaves(grads)[0].ravel()[0])
+    loss, details, gnorm = grad_fn(params)
+    np.asarray(gnorm.ravel()[0])
     print(f"compile+first step: {time.perf_counter()-t0:.0f}s "
-          f"loss={float(loss):.3f}", flush=True)
+          f"loss={float(loss):.3f} grad_norm={float(gnorm):.3f}", flush=True)
     ts = []
     for _ in range(args.steps):
         t0 = time.perf_counter()
-        (loss, details), grads = grad_fn(params)
-        np.asarray(jax.tree.leaves(grads)[0].ravel()[0])
+        loss, details, gnorm = grad_fn(params)
+        np.asarray(gnorm.ravel()[0])
         ts.append(time.perf_counter() - t0)
     fwd_bwd = min(ts)
 
     # ---- optimizer+EMA on a tree slice, scaled (elementwise/bandwidth) ----
-    del grads
     slice_tree = {"layers": params["llm"]["layers"]}
     slice_n = sum(x.size for x in jax.tree.leaves(slice_tree))
     opt = optax.adamw(1e-4, b1=0.9, b2=0.95, weight_decay=0.05)
