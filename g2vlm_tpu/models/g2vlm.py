@@ -467,10 +467,53 @@ def pi3_predict(
     cfg: G2VLMConfig,
     compute_dtype=jnp.float32,
     remat: bool = False,
+    view_chunk: int = 0,
 ) -> Dict[str, jax.Array]:
     """3D heads over dino-position hidden states (reference
     g2vlm.py:1143-1238 `reconstruct`). Batch dim B folded into N (B=1 at
-    inference, matching the reference)."""
+    inference, matching the reference).
+
+    view_chunk > 0 runs the head decoders over view chunks under `lax.map`
+    (training memory bound): views are independent in the heads' self
+    attention, and the global decoder's cross context is always frame 0, so
+    a chunked scan is exact while its backward arena holds one chunk's
+    activations instead of all N views'.
+    """
+    h, w = img_hw
+    p = cfg.dino_patch_size
+    hp, wp = h // p, w // p
+    n = dino_hidden.shape[0]
+    if view_chunk and n > view_chunk:
+        if n % view_chunk:
+            raise ValueError(f"view_chunk {view_chunk} must divide n={n}")
+        ctx = dino_hidden[:1]
+        shaped = dino_hidden.reshape(
+            n // view_chunk, view_chunk, *dino_hidden.shape[1:]
+        )
+        outs = jax.lax.map(
+            lambda hid: _pi3_predict_full(
+                params, hid, img_hw, cfg, compute_dtype, remat, ctx
+            ),
+            shaped,
+        )
+        return {
+            k: v.reshape((n,) + v.shape[2:]) for k, v in outs.items()
+        }
+    return _pi3_predict_full(
+        params, dino_hidden, img_hw, cfg, compute_dtype, remat,
+        dino_hidden[:1],
+    )
+
+
+def _pi3_predict_full(
+    params: Dict,
+    dino_hidden: jax.Array,
+    img_hw: Tuple[int, int],
+    cfg: G2VLMConfig,
+    compute_dtype,
+    remat: bool,
+    global_ctx: jax.Array,  # (1, hw, D) frame-0 tokens for the cross decoder
+) -> Dict[str, jax.Array]:
     h, w = img_hw
     p = cfg.dino_patch_size
     hp, wp = h // p, w // p
@@ -508,7 +551,7 @@ def pi3_predict(
             dino_hidden,
             pos,
             cfg.pi3,
-            context=dino_hidden[:1],
+            context=global_ctx,
             context_positions=pos[:1],
             compute_dtype=compute_dtype,
             remat=remat,

@@ -76,6 +76,7 @@ def train_forward(
     geo_start: Optional[int] = None,
     conf_target_thresh: float = 0.02,
     sp=None,
+    head_view_chunk: int = 0,
 ) -> Tuple[jax.Array, Dict]:
     """One packed sample -> scalar loss + details.
 
@@ -145,7 +146,7 @@ def train_forward(
     dino_hidden = hidden[batch.dino_indexes].reshape(n, hw, -1)
     preds = jg.pi3_predict(
         params, dino_hidden, (h, w), cfg, compute_dtype=compute_dtype,
-        remat=remat,
+        remat=remat, view_chunk=head_view_chunk,
     )
     pred = {
         "local_points": preds["local_points"][None],
@@ -279,6 +280,7 @@ def make_train_step(
     remat: bool = True,
     geo_start: Optional[int] = None,
     sp=None,
+    head_view_chunk: int = 0,
 ):
     """Returns train_step(state, batch) -> (state, metrics). `batch` carries a
     leading dp-batch axis; the loss is the mean over it. Pass geo_start (a
@@ -294,7 +296,7 @@ def make_train_step(
             return train_forward(
                 params, b, cfg, compute_dtype=compute_dtype,
                 attn_impl=attn_impl, remat=remat, geo_start=geo_start,
-                sp=sp,
+                sp=sp, head_view_chunk=head_view_chunk,
             )
 
         if sp is not None:

@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--hw", type=int, nargs=2, default=(294, 518))
     ap.add_argument("--no_vit", action="store_true")
     ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--head_view_chunk", type=int, default=8,
+                    help="Pi3-head view chunk (lax.map) bounding the head "
+                         "backward arena; 0 = all views at once")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny config smoke (CPU; validates plumbing only)")
     args = ap.parse_args()
@@ -146,6 +149,9 @@ def main():
         total, details = trainer.train_forward(
             p, batch, cfg, compute_dtype=jnp.bfloat16, attn_impl="auto",
             remat=True, geo_start=geo_start,
+            head_view_chunk=(args.head_view_chunk
+                             if args.views % max(args.head_view_chunk, 1) == 0
+                             else 0),
         )
         return total, details
 

@@ -153,11 +153,19 @@ def main():
     builder.add_text(prompt_ids)
     builder.add_dino_images(n, h // p, w // p)
     prefill = builder.build()
+
+    # jit with the prefill metadata closed over (static routing), exactly as
+    # the serving pipeline does (inference/pipeline.py _make_recon_fn) —
+    # eager dispatch would hold every layer activation in HBM and OOM
+    @jax.jit
+    def recon_fn(p_, images):
+        return jg.recon_forward(
+            p_, prefill, images, cfg, compute_dtype=jnp.bfloat16,
+            attn_impl="auto",
+        )
+
     normed = jnp.asarray(resnet_normalize(views), jnp.bfloat16)
-    got = jg.recon_forward(
-        params, prefill, normed, cfg, compute_dtype=jnp.bfloat16,
-        attn_impl="auto",
-    )
+    got = recon_fn(params, normed)
     got = {k: np.asarray(v, np.float32) for k, v in got.items()
            if hasattr(v, "shape")}
     print(f"[{time.time()-t0:.0f}s] TPU bf16 forward done", flush=True)
@@ -176,10 +184,7 @@ def main():
 
     th, tw = target_hw(frames.shape[1], frames.shape[2], args.new_width, p)
     dev_views = preprocess_views_device(jnp.asarray(frames), (th, tw))
-    got2 = jg.recon_forward(
-        params, prefill, dev_views.astype(jnp.bfloat16), cfg,
-        compute_dtype=jnp.bfloat16, attn_impl="auto",
-    )
+    got2 = recon_fn(params, dev_views.astype(jnp.bfloat16))
     got2 = {k: np.asarray(v, np.float32) for k, v in got2.items()
             if hasattr(v, "shape")}
     print(f"[{time.time()-t0:.0f}s] served uint8 path done", flush=True)

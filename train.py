@@ -61,6 +61,10 @@ def parse_args():
                          "and the MoT runs contiguous single-expert matmuls "
                          "(1x FLOPs vs MIXED's 2x)")
     ap.add_argument("--geo_start_bucket", type=int, default=256)
+    ap.add_argument("--head_view_chunk", type=int, default=0,
+                    help="run Pi3 head decoders over view chunks of this "
+                         "size (lax.map) to bound the backward arena; the "
+                         "view count must divide evenly (0 = off)")
     ap.add_argument("--tiny", action="store_true", help="tiny config (tests)")
     ap.add_argument("--synthetic", action="store_true",
                     help="synthetic data (no datasets needed)")
@@ -276,6 +280,7 @@ def main():
                 ema_decay=args.ema_decay,
                 geo_start=geo_start,
                 sp=sp,
+                head_view_chunk=args.head_view_chunk,
             )
         )
 
