@@ -27,9 +27,21 @@ def main():
                     help="resize width (default 518; 140 under --tiny)")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny random-weight config (harness smoke)")
+    ap.add_argument("--images", type=str, default=None,
+                    help="frames directory for --pseudo_gt_npz mode")
+    ap.add_argument("--pseudo_gt_npz", type=str, default=None,
+                    help="reference output cache (parity_fullsize --ref_cache"
+                         ") whose camera_poses serve as pseudo-GT for the "
+                         "real frames in --images (no pose annotations exist "
+                         "for the bundled example scenes)")
+    ap.add_argument("--pred_npz", type=str, default=None,
+                    help="score saved predictions (parity_fullsize "
+                         "--out_cache) instead of running the model — the "
+                         "shared-seed parity weights are what make a pseudo-"
+                         "GT comparison meaningful")
     args = ap.parse_args()
 
-    if args.jsonl is None:
+    if args.jsonl is None and args.pseudo_gt_npz is None:
         if not args.tiny:
             ap.error("--jsonl is required (or pass --tiny for a synthetic scene)")
         import tempfile
@@ -39,6 +51,12 @@ def main():
         args.jsonl = make_tiny_scene_jsonl(tempfile.mkdtemp(prefix="g2vlm_tiny_"))
     if args.new_width is None:
         args.new_width = 140 if args.tiny else 518
+
+    import os
+
+    if args.pred_npz is not None:
+        # pure host-side scoring of saved predictions — never grab the TPU
+        os.environ["JAX_PLATFORMS"] = "cpu"
 
     import numpy as np
     import jax
@@ -57,50 +75,75 @@ def main():
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     tokenizer = new_token_ids = None
-    if args.model_path:
-        from g2vlm_tpu.weights import load_checkpoint
-        from g2vlm_tpu.data.tokenizer import load_tokenizer
+    pipe = None
+    if args.pred_npz is None:
+        if args.model_path:
+            from g2vlm_tpu.weights import load_checkpoint
+            from g2vlm_tpu.data.tokenizer import load_tokenizer
 
-        params, cfg = load_checkpoint(args.model_path)
-        tokenizer, new_token_ids, _ = load_tokenizer(args.model_path)
-    else:
-        print("no --model_path: random weights (harness smoke mode)")
-        if args.tiny:
-            from g2vlm_tpu.config import tiny_test_config
-
-            cfg = tiny_test_config(visual_und=False)
+            params, cfg = load_checkpoint(args.model_path)
+            tokenizer, new_token_ids, _ = load_tokenizer(args.model_path)
         else:
-            cfg = G2VLMConfig(visual_und=False)
-        params = jg.init_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
-    pipe = G2VLMPipeline(
-        params, cfg, tokenizer=tokenizer, new_token_ids=new_token_ids,
-        compute_dtype=dtype,
-    )
+            print("no --model_path: random weights (harness smoke mode)")
+            if args.tiny:
+                from g2vlm_tpu.config import tiny_test_config
+
+                cfg = tiny_test_config(visual_und=False)
+            else:
+                cfg = G2VLMConfig(visual_und=False)
+            params = jg.init_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
+        pipe = G2VLMPipeline(
+            params, cfg, tokenizer=tokenizer, new_token_ids=new_token_ids,
+            compute_dtype=dtype,
+        )
+
+    def scenes():
+        """Yields (image_paths, gt_c2w (N,4,4))."""
+        if args.pseudo_gt_npz:
+            import glob as globlib
+
+            ref = np.load(args.pseudo_gt_npz)
+            gt = np.asarray(ref["camera_poses"], np.float64)
+            paths = None
+            if args.images:
+                paths = sorted(
+                    globlib.glob(f"{args.images}/*.png")
+                    + globlib.glob(f"{args.images}/*.jpg")
+                )[: len(gt)]
+                assert len(paths) == len(gt), (len(paths), gt.shape)
+            elif args.pred_npz is None:
+                ap.error("--pseudo_gt_npz without --pred_npz needs --images")
+            yield paths, gt
+            return
+        with open(args.jsonl) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                frames = json.loads(line)["frames"][: args.num_views]
+                if len(frames) < 2:
+                    continue
+                yield (
+                    [fr["image"] for fr in frames],
+                    np.asarray([fr["extrinsics"] for fr in frames], np.float64),
+                )
+
+    pred_cache = dict(np.load(args.pred_npz)) if args.pred_npz else None
 
     all_r, all_t = [], []
     n_scenes = 0
-    with open(args.jsonl) as f:
-        for line in f:
-            if not line.strip():
-                continue
-            item = json.loads(line)
-            frames = item["frames"][: args.num_views]
-            if len(frames) < 2:
-                continue
-            out = pipe.recon([fr["image"] for fr in frames], new_width=args.new_width)
-            # predicted poses are cam->frame0; compare relative pose errors
-            pred_c2w = np.asarray(out["camera_poses"], np.float64)
-            gt_c2w = np.asarray(
-                [fr["extrinsics"] for fr in frames], np.float64
-            )
-            r_deg, t_deg = camera_to_rel_deg(
-                se3_inverse_np(pred_c2w), se3_inverse_np(gt_c2w)
-            )
-            all_r.append(r_deg)
-            all_t.append(t_deg)
-            n_scenes += 1
-            if args.max_scenes and n_scenes >= args.max_scenes:
-                break
+    for paths, gt_c2w in scenes():
+        out = (pred_cache if pred_cache is not None
+               else pipe.recon(paths, new_width=args.new_width))
+        # predicted poses are cam->frame0; compare relative pose errors
+        pred_c2w = np.asarray(out["camera_poses"], np.float64)
+        r_deg, t_deg = camera_to_rel_deg(
+            se3_inverse_np(pred_c2w), se3_inverse_np(gt_c2w)
+        )
+        all_r.append(r_deg)
+        all_t.append(t_deg)
+        n_scenes += 1
+        if args.max_scenes and n_scenes >= args.max_scenes:
+            break
 
     r = np.concatenate(all_r)
     t = np.concatenate(all_t)

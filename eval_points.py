@@ -29,7 +29,50 @@ def main():
                     help="resize width (default 518; 140 under --tiny)")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny random-weight config (harness smoke)")
+    ap.add_argument("--pseudo_gt_npz", type=str, default=None,
+                    help="reference output cache (parity_fullsize --ref_cache"
+                         ") whose world points serve as pseudo-GT (no depth "
+                         "annotations exist for the bundled example scenes)")
+    ap.add_argument("--pred_npz", type=str, default=None,
+                    help="score saved predictions (parity --out_cache) "
+                         "against --pseudo_gt_npz instead of running the "
+                         "model")
     args = ap.parse_args()
+
+    if args.pseudo_gt_npz:
+        if not args.pred_npz:
+            ap.error("--pseudo_gt_npz currently requires --pred_npz")
+        import os
+
+        import numpy as np
+
+        # pure host-side scoring — never grab the TPU for this
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        from g2vlm_tpu.train.loss import align_points_scale
+        import jax.numpy as jnp
+
+        ref = dict(np.load(args.pseudo_gt_npz))
+        pred_c = dict(np.load(args.pred_npz))
+        gt = np.asarray(ref["points"], np.float32)[None]
+        pred = np.asarray(pred_c["points"], np.float32)[None]
+        assert gt.shape == pred.shape, (gt.shape, pred.shape)
+        w = np.ones((1, gt[0, ..., 0].size), np.float32)
+        scale = np.asarray(
+            align_points_scale(
+                jnp.asarray(pred.reshape(1, -1, 3)),
+                jnp.asarray(gt.reshape(1, -1, 3)),
+                jnp.asarray(w),
+            )
+        )[0]
+        diff = np.linalg.norm(abs(scale) * pred[0] - gt[0], axis=-1)
+        norm = np.linalg.norm(gt[0], axis=-1)
+        print(f"views={gt.shape[1]} scale={scale:.6f}")
+        print(f"local-abs-rel: {np.mean(diff / np.maximum(norm, 1e-6)):.6f}")
+        print(f"world-rmse:    {np.sqrt(np.mean(diff ** 2)):.6f}")
+        return
 
     if args.jsonl is None:
         if not args.tiny:

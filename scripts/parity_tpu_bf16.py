@@ -54,6 +54,9 @@ def main():
                     default="/root/reference/examples/dl3dv")
     ap.add_argument("--ref_cache", type=str, required=True)
     ap.add_argument("--new_width", type=int, default=518)
+    ap.add_argument("--out_cache", type=str, default=None,
+                    help="save OUR TPU-bf16 outputs here (feeds the "
+                         "eval_camera/eval_points --pred_npz harness runs)")
     args = ap.parse_args()
 
     import jax
@@ -123,11 +126,13 @@ def main():
         ).eval()
         for p in model.parameters():
             p.uniform_(-0.02, 0.02)
-    params = jg.params_from_torch(model.state_dict(), cfg)
+    # map on HOST: the fp32 tree is ~9GB — built on the TPU it would sit
+    # next to the bf16 copy and starve the forward of HBM
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = jg.params_from_torch(model.state_dict(), cfg)
+        params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
     del model
-    params = jax.tree.map(
-        lambda x: jax.device_put(x.astype(jnp.bfloat16)), params
-    )
+    params = jax.device_put(params, jax.devices()[0])
     jax.block_until_ready(params)
     print(f"[{time.time()-t0:.0f}s] weights mapped to bf16 on "
           f"{jax.devices()[0].platform}", flush=True)
@@ -169,6 +174,9 @@ def main():
     got = {k: np.asarray(v, np.float32) for k, v in got.items()
            if hasattr(v, "shape")}
     print(f"[{time.time()-t0:.0f}s] TPU bf16 forward done", flush=True)
+    if args.out_cache:
+        np.savez(args.out_cache, **got)
+        print(f"saved outputs to {args.out_cache}", flush=True)
     ok = report("model: bf16+Pallas on host-preprocessed frames", got, ref)
 
     # full served path: raw uint8 frames -> fused device preprocess (the
