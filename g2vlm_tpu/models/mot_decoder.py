@@ -460,6 +460,8 @@ def decoder_forward(
     geo_start: Optional[int] = None,
     remat: bool = False,
     collect_hidden: bool = False,
+    collect_kv: bool = True,
+    remat_group: int = 1,
     sp=None,
 ) -> Tuple[jax.Array, Dict]:
     """Run all layers. Returns (hidden (S, D) after final norm, aux dict with
@@ -498,6 +500,10 @@ def decoder_forward(
             geo_start=geo_start,
             sp=sp,
         )
+        if not collect_kv:
+            # training discards the cache: emitting it stacks (L,S,KVH,HD)
+            # k/v (~1G at the 36864 pack) through the scan for nothing
+            new_kv = None
         return h, ((new_kv, h) if collect_hidden else new_kv)
 
     if past_kv is None:
@@ -507,7 +513,29 @@ def decoder_forward(
             # (the reference's apply_activation_checkpointing equivalent,
             # train/fsdp_utils.py:533-547)
             step = jax.checkpoint(step, prevent_cse=False)
-        h, ys = jax.lax.scan(step, x.astype(compute_dtype), layers)
+        if remat and remat_group > 1 and not collect_hidden and not collect_kv:
+            # sqrt-remat: checkpoint GROUPS of layers so the scan-bwd saves
+            # one (S, D) carry per group instead of per layer (3.17G -> /G
+            # at the 36864 pack); the nested per-layer checkpoint keeps the
+            # in-group recompute peak at one layer's internals. Costs one
+            # extra fwd recompute of each group during bwd (~+fwd/4 time).
+            n_layers = jax.tree.leaves(layers)[0].shape[0]
+            assert n_layers % remat_group == 0, (n_layers, remat_group)
+            glayers = jax.tree.map(
+                lambda a: a.reshape(
+                    n_layers // remat_group, remat_group, *a.shape[1:]
+                ),
+                layers,
+            )
+
+            def gstep(c, glp):
+                h2, _ = jax.lax.scan(step, c, glp)
+                return h2, None
+
+            gstep = jax.checkpoint(gstep, prevent_cse=False)
+            h, ys = jax.lax.scan(gstep, x.astype(compute_dtype), glayers)
+        else:
+            h, ys = jax.lax.scan(step, x.astype(compute_dtype), layers)
     else:
         step = body
         if remat:
@@ -546,7 +574,7 @@ def decoder_forward(
                 )
         else:
             h = rms_norm(h, params["norm"], cfg.rms_norm_eps)
-    aux = {"k": kvs.k, "v": kvs.v}
+    aux = {} if kvs is None else {"k": kvs.k, "v": kvs.v}
     if hidden_layers is not None:
         aux["hidden_states"] = hidden_layers
     return h, aux
@@ -557,7 +585,16 @@ def embed_tokens(params: Dict, token_ids: jax.Array) -> jax.Array:
 
 
 def lm_head(params: Dict, hidden: jax.Array, compute_dtype=jnp.float32) -> jax.Array:
-    return hidden.astype(compute_dtype) @ params["lm_head"].astype(compute_dtype)
+    # keep the (D, V) weight in its stored dtype and request fp32 MXU
+    # accumulation instead of astype-ing it up: materializing the 152k-vocab
+    # matrix (and its bwd transpose) in fp32 costs ~1.9GB of HBM temps at
+    # training time for identical accumulation numerics
+    w = params["lm_head"]
+    return jax.lax.dot_general(
+        hidden.astype(w.dtype), w,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=compute_dtype,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -77,6 +77,7 @@ def train_forward(
     conf_target_thresh: float = 0.02,
     sp=None,
     head_view_chunk: int = 0,
+    remat_group: int = 1,
 ) -> Tuple[jax.Array, Dict]:
     """One packed sample -> scalar loss + details.
 
@@ -123,6 +124,8 @@ def train_forward(
         cfg=cfg.llm,
         expert_mode=mot_decoder.MIXED if geo_start is None else mot_decoder.SPLIT,
         geo_start=geo_start,
+        collect_kv=False,
+        remat_group=remat_group,
         compute_dtype=compute_dtype,
         attn_impl=attn_impl,
         remat=remat,

@@ -33,9 +33,25 @@ def main():
     ap.add_argument("--hw", type=int, nargs=2, default=(294, 518))
     ap.add_argument("--no_vit", action="store_true")
     ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--remat_group", type=int, default=1,
+                    help="checkpoint every N layers in the MoT scan "
+                         "(sqrt-remat: /N carry memory, +~fwd/4 recompute)")
     ap.add_argument("--head_view_chunk", type=int, default=8,
                     help="Pi3-head view chunk (lax.map) bounding the head "
                          "backward arena; 0 = all views at once")
+    ap.add_argument("--freeze_und", action="store_true",
+                    help="recon-stage step: grad only wrt the geo partition "
+                         "(ViT + und expert frozen, no dW buffers — the "
+                         "memory-real form of the reference freeze flags)")
+    ap.add_argument("--freeze_recon", action="store_true",
+                    help="und-SFT-stage step: grad only wrt ViT + und expert")
+    ap.add_argument("--freeze_text", action="store_true",
+                    help="also freeze embed/lm_head (pure recon stage: "
+                         "dino + geo expert + Pi3 heads trainable)")
+    ap.add_argument("--xla_opt", action="append", default=[],
+                    help="k=v TPU compiler option (forwarded per-compile "
+                         "via lower().compile(compiler_options=...), e.g. "
+                         "xla_tpu_enable_latency_hiding_scheduler=false)")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny config smoke (CPU; validates plumbing only)")
     args = ap.parse_args()
@@ -149,6 +165,7 @@ def main():
         total, details = trainer.train_forward(
             p, batch, cfg, compute_dtype=jnp.bfloat16, attn_impl="auto",
             remat=True, geo_start=geo_start,
+            remat_group=args.remat_group,
             head_view_chunk=(args.head_view_chunk
                              if args.views % max(args.head_view_chunk, 1) == 0
                              else 0),
@@ -161,16 +178,72 @@ def main():
     # params/grads over fsdp (the driver dryrun path); the fwd+bwd compute
     # measured here is identical — XLA just frees each grad buffer at its
     # reduction instead of keeping it live to the end.
-    def step_fn(p):
-        (loss, details), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(p)
-        gnorm = optax.global_norm(grads)
-        return loss, details, gnorm
+    #
+    # Full-JOINT single-chip is physically out: 9.35G bf16 params + ~9G
+    # simultaneously-live stacked layer grads > 15.75G HBM before any
+    # activation. The staged configs below (reference stage training /
+    # freeze flags, trainer.freeze_labels) take the grad ONLY wrt the
+    # trainable partition, so frozen towers contribute no dW buffers —
+    # the memory-real form of the freeze flags (multi_transform zeroes
+    # updates but still materializes full grads).
+    import jax.tree_util as jtu
 
-    grad_fn = jax.jit(step_fn)
+    if args.freeze_und or args.freeze_recon:
+        labels = trainer.freeze_labels(
+            params, args.freeze_und, args.freeze_recon
+        )
+        if args.freeze_text:
+            flat_pl, ldef = jtu.tree_flatten_with_path(labels)
+            lab = []
+            for path, l in flat_pl:
+                keys = [p.key for p in path if hasattr(p, "key")]
+                if keys[0] == "llm" and keys[1] in ("embed", "lm_head"):
+                    l = "frozen"
+                lab.append(l)
+            labels = jtu.tree_unflatten(ldef, lab)
+        flat_p, treedef = jtu.tree_flatten(params)
+        flat_l = jtu.tree_leaves(labels)
+        assert len(flat_p) == len(flat_l)
+        train_idx = [i for i, l in enumerate(flat_l) if l == "train"]
+        frozen_idx = [i for i, l in enumerate(flat_l) if l == "frozen"]
+        train_list = [flat_p[i] for i in train_idx]
+        frozen_list = [flat_p[i] for i in frozen_idx]
+        n_train = sum(x.size for x in train_list)
+        print(f"trainable: {n_train/1e9:.2f}B of {n_params/1e9:.2f}B "
+              f"(freeze_und={args.freeze_und} freeze_recon={args.freeze_recon})",
+              flush=True)
+
+        def rebuild(tl, fl):
+            out = [None] * len(flat_l)
+            for i, x in zip(train_idx, tl):
+                out[i] = x
+            for i, x in zip(frozen_idx, fl):
+                out[i] = x
+            return jtu.tree_unflatten(treedef, out)
+
+        def step_fn(tl, fl):
+            (loss, details), grads = jax.value_and_grad(
+                lambda t: loss_fn(rebuild(t, fl)), has_aux=True
+            )(tl)
+            gnorm = optax.global_norm(grads)
+            return loss, details, gnorm
+
+        grad_fn = jax.jit(step_fn)
+        grad_args = (train_list, frozen_list)
+        opt_scale_n = n_train
+    else:
+        def step_fn(p):
+            (loss, details), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(p)
+            gnorm = optax.global_norm(grads)
+            return loss, details, gnorm
+
+        grad_fn = jax.jit(step_fn)
+        grad_args = (params,)
+        opt_scale_n = n_params
     if os.environ.get("G2VLM_LOWER_ONLY"):
-        txt = grad_fn.lower(params).as_text()
+        txt = grad_fn.lower(*grad_args).as_text()
         import re
 
         sizes = {}
@@ -183,14 +256,18 @@ def main():
             print(f"{v/1e9:8.2f} GB  {k}")
         return
     t0 = time.perf_counter()
-    loss, details, gnorm = grad_fn(params)
+    if args.xla_opt:
+        opts = dict(kv.split("=", 1) for kv in args.xla_opt)
+        print(f"compiler_options: {opts}", flush=True)
+        grad_fn = grad_fn.lower(*grad_args).compile(compiler_options=opts)
+    loss, details, gnorm = grad_fn(*grad_args)
     np.asarray(gnorm.ravel()[0])
     print(f"compile+first step: {time.perf_counter()-t0:.0f}s "
           f"loss={float(loss):.3f} grad_norm={float(gnorm):.3f}", flush=True)
     ts = []
     for _ in range(args.steps):
         t0 = time.perf_counter()
-        loss, details, gnorm = grad_fn(params)
+        loss, details, gnorm = grad_fn(*grad_args)
         np.asarray(gnorm.ravel()[0])
         ts.append(time.perf_counter() - t0)
     fwd_bwd = min(ts)
@@ -218,7 +295,7 @@ def main():
         out = opt_step(slice_tree, opt_state, g_slice, ema)
         np.asarray(jax.tree.leaves(out[0])[0].ravel()[0])
         ts.append(time.perf_counter() - t0)
-    opt_t = min(ts) * (n_params / slice_n)
+    opt_t = min(ts) * (opt_scale_n / slice_n)
 
     step = fwd_bwd + opt_t
     toks_s = args.tokens / step
@@ -237,7 +314,9 @@ def main():
     dino_flops = 2 * (n * (hw_tok + 5)) * dino_p
     heads_flops = 2 * (n * hw_tok) * 0.2e9
     fwd_flops = llm_flops + attn_flops + dino_flops + heads_flops
-    total_flops = 3 * fwd_flops
+    # bwd = dX (1x fwd) + dW GEMMs only for the trainable partition
+    dw_frac = opt_scale_n / n_params
+    total_flops = (2 + dw_frac) * fwd_flops
     mfu = total_flops / step / 197e12
     print(
         f"fwd+bwd {fwd_bwd*1e3:.0f} ms + optimizer/EMA {opt_t*1e3:.0f} ms "
