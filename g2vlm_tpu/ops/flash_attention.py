@@ -544,7 +544,12 @@ def _fwd_pallas(qp, kp, vp, qm, km, scale, block_q, block_kv, interpret,
         # Residuals for the backward keep the ORIGINAL q (custom_vjp saves
         # the wrapper args, not this scaled copy).
         qp = (qp.astype(jnp.float32) * (scale * _LOG2E)).astype(qp.dtype)
-    pipeline = static_max and os.environ.get("G2VLM_ATTN_PIPE", "1") == "1"
+    # measured on v5e at the 25k-token prefill: 55.8 ms vs 52.0 ms plain —
+    # Mosaic serializes the predicated flush/fill regions instead of
+    # overlapping the staged QK dot with the previous tile's exp2 pass, so
+    # the extra VMEM round-trip only costs. Kept (tested, default off) for
+    # hardware where the scheduler can interleave; see BENCH_NOTES.
+    pipeline = static_max and os.environ.get("G2VLM_ATTN_PIPE", "0") == "1"
     if pipeline:
         kernel = functools.partial(
             _flash_kernel_pipe, n_kv_blocks=n_kv, with_lse=with_lse,

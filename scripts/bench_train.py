@@ -273,7 +273,14 @@ def main():
     fwd_bwd = min(ts)
 
     # ---- optimizer+EMA on a tree slice, scaled (elementwise/bandwidth) ----
-    slice_tree = {"layers": params["llm"]["layers"]}
+    # a ~0.3B slice: AdamW+EMA is elementwise/bandwidth-bound so the linear
+    # scale-up is exact to first order; the full param tree is freed first
+    # (grad timing is done) so slice p+m+v+ema+g has the chip to itself
+    slice_tree = {"dino": jax.tree.map(jnp.copy, params["dino"])}
+    jax.block_until_ready(slice_tree)
+    del params, grad_args, grad_fn
+    if args.freeze_und or args.freeze_recon:
+        del train_list, frozen_list, flat_p
     slice_n = sum(x.size for x in jax.tree.leaves(slice_tree))
     opt = optax.adamw(1e-4, b1=0.9, b2=0.95, weight_decay=0.05)
     opt_state = jax.jit(opt.init)(slice_tree)
