@@ -284,6 +284,7 @@ def make_train_step(
     geo_start: Optional[int] = None,
     sp=None,
     head_view_chunk: int = 0,
+    remat_group: int = 1,
 ):
     """Returns train_step(state, batch) -> (state, metrics). `batch` carries a
     leading dp-batch axis; the loss is the mean over it. Pass geo_start (a
@@ -300,6 +301,7 @@ def make_train_step(
                 params, b, cfg, compute_dtype=compute_dtype,
                 attn_impl=attn_impl, remat=remat, geo_start=geo_start,
                 sp=sp, head_view_chunk=head_view_chunk,
+                remat_group=remat_group,
             )
 
         if sp is not None:

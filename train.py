@@ -61,6 +61,10 @@ def parse_args():
                          "and the MoT runs contiguous single-expert matmuls "
                          "(1x FLOPs vs MIXED's 2x)")
     ap.add_argument("--geo_start_bucket", type=int, default=256)
+    ap.add_argument("--remat_group", type=int, default=1,
+                    help="checkpoint every N layers of the MoT scan "
+                         "(sqrt-remat: /N activation carry, ~+fwd/4 "
+                         "recompute; N must divide the layer count)")
     ap.add_argument("--head_view_chunk", type=int, default=0,
                     help="run Pi3 head decoders over view chunks of this "
                          "size (lax.map) to bound the backward arena; the "
@@ -281,6 +285,7 @@ def main():
                 geo_start=geo_start,
                 sp=sp,
                 head_view_chunk=args.head_view_chunk,
+                remat_group=args.remat_group,
             )
         )
 
