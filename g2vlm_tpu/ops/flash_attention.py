@@ -285,59 +285,68 @@ def _flash_kernel_pipe(
     Static-max/shiftless only: the online-softmax form carries a running
     max whose alpha-rescale makes flushes order-dependent."""
     if with_lse:
-        lse_ref, s_scr, v_scr, l_scr, acc_scr, pend_scr = rest
+        lse_ref, s_scr, v_scr, l_scr, acc_scr = rest
     else:
-        s_scr, v_scr, l_scr, acc_scr, pend_scr = rest
+        s_scr, v_scr, l_scr, acc_scr = rest
     i = pl.program_id(1)
     j = pl.program_id(2)
     g, bq, d = q_ref.shape
     jc = jnp.minimum(j, n_kv_blocks - 1)
     code = codes_ref[i, jc]
+    slot = jax.lax.rem(j, 2)  # fill slot; the pending tile is the other one
+    flush_slot = jax.lax.rem(j + 1, 2)
 
     @pl.when(j == 0)
     def _():
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
-        pend_scr[0] = -1
-
-    pend = pend_scr[0]
-
-    @pl.when(pend >= 0)
-    def _():
-        sl = jnp.maximum(pend, 0)
-        s = s_scr[pl.ds(sl, 1)][0]  # (G*BQ, BK) fp32
-        p = jnp.exp2(jnp.minimum(s, _SAT))
-        l_scr[:, :1] += jnp.sum(p, axis=1, keepdims=True)
-        vv = v_scr[pl.ds(sl, 1)][0]  # (BK, D)
-        acc_scr[:] += jax.lax.dot_general(
-            p.astype(vv.dtype), vv,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        # nothing pending yet: NEG_INF scores flush to p = 0. v must be
+        # zeroed too — 0 * VMEM garbage could be 0 * NaN
+        s_scr[pl.ds(1, 1)] = jnp.full(
+            (1,) + s_scr.shape[1:], NEG_INF, s_scr.dtype
+        )
+        v_scr[pl.ds(1, 1)] = jnp.zeros(
+            (1,) + v_scr.shape[1:], v_scr.dtype
         )
 
-    slot = jax.lax.rem(j, 2)
-    fill = (j < n_kv_blocks) & (code != BLOCK_SKIP)
+    # ---- fill stage (unconditional straight-line: the MXU QK dot of tile
+    # j has no data dependence on the flush of tile j-1 below — ping-pong
+    # slots, so the scheduler is free to interleave them) ----
+    s = jax.lax.dot_general(
+        q_ref[...].reshape(g * bq, d), k_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (G*BQ, BK); q pre-scaled by scale*log2(e) outside (static path)
+    s_scr[pl.ds(slot, 1)] = s[None]
+    v_scr[pl.ds(slot, 1)] = v_ref[...]
 
-    def scores():
-        # q pre-scaled by scale*log2(e) outside (static path)
-        return jax.lax.dot_general(
-            q_ref[...].reshape(g * bq, d), k_ref[0],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (G*BQ, BK)
+    # invisible tiles (and the epilogue step's clamped re-fill) flush to 0;
+    # PARTIAL tiles mask in place — both rare, predicated off the hot path
+    dead = (code == BLOCK_SKIP) | (j >= n_kv_blocks)
 
-    @pl.when(fill & (code == BLOCK_FULL))
+    @pl.when(dead)
     def _():
-        s_scr[pl.ds(slot, 1)] = scores()[None]
-        v_scr[pl.ds(slot, 1)] = v_ref[...]
+        s_scr[pl.ds(slot, 1)] = jnp.full(
+            (1,) + s_scr.shape[1:], NEG_INF, s_scr.dtype
+        )
 
-    @pl.when(fill & (code == BLOCK_PARTIAL))
+    @pl.when(jnp.logical_not(dead) & (code == BLOCK_PARTIAL))
     def _():
         mask = jnp.tile(_tile_mask(qm_ref, km_ref), (g, 1))
-        s_scr[pl.ds(slot, 1)] = jnp.where(mask, scores(), NEG_INF)[None]
-        v_scr[pl.ds(slot, 1)] = v_ref[...]
+        s_scr[pl.ds(slot, 1)] = jnp.where(
+            mask, s_scr[pl.ds(slot, 1)][0], NEG_INF
+        )[None]
 
-    pend_scr[0] = jnp.where(fill, slot, -1)
+    # ---- flush stage (unconditional): tile j-1's exp2/sum/PV ----
+    sp_ = s_scr[pl.ds(flush_slot, 1)][0]  # (G*BQ, BK) fp32
+    p = jnp.exp2(jnp.minimum(sp_, _SAT))
+    l_scr[:, :1] += jnp.sum(p, axis=1, keepdims=True)
+    vv = v_scr[pl.ds(flush_slot, 1)][0]  # (BK, D)
+    acc_scr[:] += jax.lax.dot_general(
+        p.astype(vv.dtype), vv,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
     @pl.when(j == n_kv_blocks)
     def _():
@@ -590,7 +599,6 @@ def _fwd_pallas(qp, kp, vp, qm, km, scale, block_q, block_kv, interpret,
                 pltpu.VMEM((2, block_kv, d), vp.dtype),
                 pltpu.VMEM((g * block_q, 128), jnp.float32),
                 pltpu.VMEM((g * block_q, d), jnp.float32),
-                pltpu.SMEM((1,), jnp.int32),
             ],
         )
         return pl.pallas_call(

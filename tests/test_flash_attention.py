@@ -318,3 +318,47 @@ def test_static_max_extreme_logits_finite(rng):
         block_q=128, block_kv=128, interpret=True, static_max=True,
     ))
     assert np.isfinite(out2).all()
+
+
+def test_pipelined_kernel_matches_plain(rng, monkeypatch):
+    """The staged 2-stage pipeline variant (G2VLM_ATTN_PIPE=1, non-default:
+    measured slower on v5e, see BENCH_NOTES negative results) must stay
+    numerically identical to the plain shiftless kernel — fwd and grads."""
+    import jax
+
+    S, H, KVH, D = 256, 4, 2, 128
+    q = rng.standard_normal((S, H, D)).astype(np.float32)
+    k = rng.standard_normal((S, KVH, D)).astype(np.float32)
+    v = rng.standard_normal((S, KVH, D)).astype(np.float32)
+    info = make_token_info_np(
+        [100, 156], [40, 60, 56, 100], ["causal", "full", "causal", "full"]
+    )
+
+    def run():
+        def f(q_, k_, v_):
+            return flash_segment_attention(
+                q_, k_, v_, info, info, block_q=128, block_kv=128,
+                interpret=True, static_max=True,
+            ).sum()
+
+        out = flash_segment_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), info, info,
+            block_q=128, block_kv=128, interpret=True, static_max=True,
+        )
+        grads = jax.grad(f, argnums=(0, 1, 2))(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+        )
+        return out, grads
+
+    monkeypatch.setenv("G2VLM_ATTN_PIPE", "0")
+    plain_out, plain_grads = run()
+    monkeypatch.setenv("G2VLM_ATTN_PIPE", "1")
+    pipe_out, pipe_grads = run()
+
+    np.testing.assert_allclose(
+        np.asarray(pipe_out), np.asarray(plain_out), atol=1e-6, rtol=1e-6
+    )
+    for pg, gg in zip(pipe_grads, plain_grads):
+        np.testing.assert_allclose(
+            np.asarray(pg), np.asarray(gg), atol=1e-5, rtol=1e-5
+        )
