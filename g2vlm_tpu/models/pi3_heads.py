@@ -19,6 +19,7 @@ them in autocast-disabled fp32).
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional
 
 import jax
@@ -80,9 +81,10 @@ def _rot_cols(p, idx, sgn, col_off: int):
 def _use_flash(b, s, m=None):
     """Pallas batched kernel on TPU once the dense fp32 logit tensors would
     dominate HBM traffic (same dispatch rule as models/dinov2.py)."""
+    thresh = int(os.environ.get("G2VLM_BATCHED_FLASH_MIN", 64 * 512 * 512))
     return (
         jax.default_backend() == "tpu"
-        and b * s * (m if m is not None else s) >= 64 * 512 * 512
+        and b * s * (m if m is not None else s) >= thresh
     )
 
 
