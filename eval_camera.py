@@ -41,6 +41,11 @@ def main():
                          "GT comparison meaningful")
     args = ap.parse_args()
 
+    if args.pred_npz is not None and args.pseudo_gt_npz is None:
+        # the single cached prediction would silently be scored against
+        # every jsonl scene, producing meaningless aggregate numbers
+        ap.error("--pred_npz requires --pseudo_gt_npz (saved predictions "
+                 "are a single scene's output)")
     if args.jsonl is None and args.pseudo_gt_npz is None:
         if not args.tiny:
             ap.error("--jsonl is required (or pass --tiny for a synthetic scene)")

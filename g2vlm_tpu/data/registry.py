@@ -7,8 +7,6 @@ args, sampling weights, mandatory flags."""
 
 from __future__ import annotations
 
-import glob
-import os
 from typing import Any, Dict, List, Optional
 
 from .recon_dataset import JsonlReconDataset
@@ -74,9 +72,14 @@ def build_groups_from_config(
                 if "max_num_frames" in fr:
                     kwargs["num_video_frames"] = fr["max_num_frames"]
             elif gname == "recon_then_und":
+                # data_dir may be a local path or any fs URI (hdfs://,
+                # s3://, or a register_fs_factory scheme); num_used_data
+                # mirrors the reference's repeat-to-count weighting
+                from .parquet_dataset import get_parquet_data_paths
+
                 pq_dir = info.get("data_dir", "")
-                kwargs["parquet_files"] = sorted(
-                    glob.glob(os.path.join(pq_dir, "**", "*.parquet"), recursive=True)
+                kwargs["parquet_files"] = get_parquet_data_paths(
+                    [pq_dir], repeats=[int(info.get("num_used_data", 1))]
                 )
                 dargs = gcfg.get("dino_image_transform_args", {})
                 if "target_size" in dargs:

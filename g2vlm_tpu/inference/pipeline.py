@@ -324,15 +324,25 @@ class G2VLMPipeline:
             # data/device_preprocess.py docstrings).
             from PIL import Image
 
-            arrs = [
-                np.asarray(Image.open(im).convert("RGB"))
-                if isinstance(im, str) else np.asarray(im)
-                for im in images
-            ]
-            if len({a.shape for a in arrs}) == 1:
+            def _to_rgb_u8(im):
+                # mirror load_views' normalization: paths and PIL images in
+                # any mode become RGB; arrays must already be uint8 HWC-3
+                if isinstance(im, str):
+                    im = Image.open(im)
+                if isinstance(im, Image.Image):
+                    return np.asarray(im.convert("RGB"))
+                return np.asarray(im)
+
+            arrs = [_to_rgb_u8(im) for im in images]
+            uniform = len({a.shape for a in arrs}) == 1
+            valid = all(
+                a.dtype == np.uint8 and a.ndim == 3 and a.shape[-1] == 3
+                for a in arrs
+            )
+            if uniform and valid:
                 frames = np.stack(arrs)
             else:
-                images = arrs  # non-uniform: fall through to the host path
+                images = arrs  # non-uniform/non-u8: fall back to host path
 
         if frames is not None:
             from ..data.device_preprocess import target_hw, vit_device_grid

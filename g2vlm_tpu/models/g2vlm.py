@@ -483,9 +483,10 @@ def pi3_predict(
     p = cfg.dino_patch_size
     hp, wp = h // p, w // p
     n = dino_hidden.shape[0]
-    if view_chunk and n > view_chunk:
-        if n % view_chunk:
-            raise ValueError(f"view_chunk {view_chunk} must divide n={n}")
+    if view_chunk and n > view_chunk and n % view_chunk == 0:
+        # non-dividing view counts fall through to the unchunked path (a
+        # variable-view training batch must not crash the step; chunking is
+        # purely a memory optimization)
         ctx = dino_hidden[:1]
         shaped = dino_hidden.reshape(
             n // view_chunk, view_chunk, *dino_hidden.shape[1:]

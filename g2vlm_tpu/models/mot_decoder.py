@@ -585,13 +585,16 @@ def embed_tokens(params: Dict, token_ids: jax.Array) -> jax.Array:
 
 
 def lm_head(params: Dict, hidden: jax.Array, compute_dtype=jnp.float32) -> jax.Array:
-    # keep the (D, V) weight in its stored dtype and request fp32 MXU
-    # accumulation instead of astype-ing it up: materializing the 152k-vocab
-    # matrix (and its bwd transpose) in fp32 costs ~1.9GB of HBM temps at
-    # training time for identical accumulation numerics
+    # run the GEMM at promote_types(hidden, w) with fp32 MXU accumulation.
+    # In the production bf16/bf16 case the (D, V) weight stays in its stored
+    # dtype — materializing the 152k-vocab matrix (and its bwd transpose) in
+    # fp32 costs ~1.9GB of HBM temps at training time for identical
+    # accumulation numerics. An fp32-hidden caller instead pays the weight
+    # upcast and gets true fp32 numerics (no silent input downcast).
     w = params["lm_head"]
+    ct = jnp.promote_types(hidden.dtype, w.dtype)
     return jax.lax.dot_general(
-        hidden.astype(w.dtype), w,
+        hidden.astype(ct), w.astype(ct),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=compute_dtype,
     )

@@ -138,14 +138,20 @@ def main():
             ),
         )
         f = jax.jit(fn)
+
+        def sync(x):
+            # block_until_ready does not sync through the axon tunnel;
+            # a single-element device fetch does (same as profile_recon)
+            np.asarray(x.ravel()[0])
+
         out = f(q, k, v)
-        jax.block_until_ready(out)
+        sync(out)
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
             for _ in range(args.iters):
                 out = f(q, k, v)
-            jax.block_until_ready(out)
+            sync(out)
             ts.append((time.perf_counter() - t0) / args.iters)
         dt = min(ts) * 1e3
         print(f"{variant:9s} {dt:7.2f} ms   ({flops/(min(ts))/1e12:.0f} "

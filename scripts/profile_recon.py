@@ -127,7 +127,16 @@ def main():
                 context_positions=pos, compute_dtype=dt,
             )
         )
-        timeit("  global decoder (cross)", f, params, dino_hidden, sync=sync)
+        timeit("  global decoder (ctx b=N)", f, params, dino_hidden, sync=sync)
+
+        # the REAL in-model form: batch-1 frame-0 context, K/V projected once
+        f = jax.jit(
+            lambda pr, dh: pi3_heads.decoder_forward(
+                pr["global_decoder"], dh, pos, cfg.pi3,
+                context=dh[:1], context_positions=pos[:1], compute_dtype=dt,
+            )
+        )
+        timeit("  global decoder (ctx b=1)", f, params, dino_hidden, sync=sync)
 
         f = jax.jit(
             lambda pr, x: pi3_heads.linear_pts3d(
@@ -298,6 +307,60 @@ def main():
             return out
 
         timeit("    rms-style x15", jax.jit(rms15), x, sync=sync)
+
+    if "act_micro" in stages:
+        # activation/elementwise variants at the heads' mlp-hidden shape
+        # (32,784,6144) bf16: exact erf gelu vs tanh vs sigmoid gelu vs silu,
+        # plus fp32-vs-bf16 rope-mix and residual add
+        x = jax.random.normal(key, (n, 784, 6144), dt)
+
+        def chain(f, reps=10):
+            def run(x):
+                out = x
+                for _ in range(reps):
+                    out = f(out) * 0.3  # keep magnitudes bounded
+                return out
+            return run
+
+        timeit("    gelu exact x10", jax.jit(chain(
+            lambda x: jax.nn.gelu(x, approximate=False))), x, sync=sync)
+        timeit("    gelu tanh  x10", jax.jit(chain(
+            lambda x: jax.nn.gelu(x, approximate=True))), x, sync=sync)
+        timeit("    gelu sigm  x10", jax.jit(chain(
+            lambda x: x * jax.nn.sigmoid(1.702 * x))), x, sync=sync)
+        timeit("    silu       x10", jax.jit(chain(jax.nn.silu)), x, sync=sync)
+        timeit("    gelu exact fp32 x10", jax.jit(chain(
+            lambda x: jax.nn.gelu(
+                x.astype(jnp.float32), approximate=False
+            ).astype(jnp.bfloat16))), x, sync=sync)
+
+        # rope-mix at the heads' (32,784,16,96) shape: fp32 vs bf16 math
+        q = jax.random.normal(key, (n, 784, cfg.pi3.num_heads, 96), dt)
+        pos = pi3_heads.patch_positions(n, 294 // 14, 518 // 14)
+        pos = jnp.pad(pos, ((0, 0), (0, 784 - pos.shape[1]), (0, 0)))
+        from g2vlm_tpu.ops.rope import rope2d_cos_sin
+
+        cos, sin = rope2d_cos_sin(pos, 96, cfg.pi3.rope_freq)
+
+        def mix_fp32(q):
+            out = q
+            for _ in range(10):
+                c = cos[:, :, None, :]
+                s = sin[:, :, None, :]
+                out = (out.astype(jnp.float32) * c
+                       + out.astype(jnp.float32) * s).astype(dt)
+            return out
+
+        def mix_bf16(q):
+            out = q
+            cb = cos.astype(dt)[:, :, None, :]
+            sb = sin.astype(dt)[:, :, None, :]
+            for _ in range(10):
+                out = out * cb + out * sb
+            return out
+
+        timeit("    rope-mix fp32 x10", jax.jit(mix_fp32), q, sync=sync)
+        timeit("    rope-mix bf16 x10", jax.jit(mix_bf16), q, sync=sync)
 
     if "exp_micro" in stages:
         # raw exp2 throughput in VMEM (EUP): fp32 vs bf16, plus mult for
