@@ -13,6 +13,89 @@ import argparse
 import json
 
 
+def _self_check():
+    """Metric-math validation on non-degenerate poses (no model).
+
+    With random weights the model's predicted relative translations are
+    ~4e-6, so translation-direction AUC from a --tiny model run is
+    quantization noise. Here the synthetic scene's real GT arc supplies
+    meaningful translation directions, and predictions are the GT composed
+    with KNOWN perturbations — the reported errors must equal the injected
+    angles (reference metric semantics: modeling/g2vlm/metric.py:107-219)."""
+    import os
+    import tempfile
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import numpy as np
+
+    from g2vlm_tpu.data.synthetic import make_tiny_scene_jsonl
+    from g2vlm_tpu.utils.metrics import calculate_auc, camera_to_rel_deg
+    from g2vlm_tpu.utils.metrics import se3_inverse_np
+
+    path = make_tiny_scene_jsonl(
+        tempfile.mkdtemp(prefix="g2vlm_selfcheck_"), n_frames=6
+    )
+    with open(path) as f:
+        frames = json.loads(f.readline())["frames"]
+    gt_c2w = np.asarray([fr["extrinsics"] for fr in frames], np.float64)
+    gt_w2c = se3_inverse_np(gt_c2w)
+    rel_t = gt_c2w[1:, :3, 3] - gt_c2w[:-1, :3, 3]
+    print(f"synthetic GT: {len(frames)} views, consecutive |t| = "
+          f"{np.linalg.norm(rel_t, axis=1).round(4).tolist()} (non-degenerate)")
+
+    def axis_angle(axis, deg):
+        axis = np.asarray(axis, np.float64)
+        axis = axis / np.linalg.norm(axis)
+        a = np.deg2rad(deg)
+        K = np.array([[0, -axis[2], axis[1]],
+                      [axis[2], 0, -axis[0]],
+                      [-axis[1], axis[0], 0]])
+        return np.eye(3) + np.sin(a) * K + (1 - np.cos(a)) * (K @ K)
+
+    ok = True
+
+    # 1) exact predictions -> zero error, AUC 1
+    r_deg, t_deg = camera_to_rel_deg(gt_w2c, gt_w2c)
+    auc30, _ = calculate_auc(r_deg, t_deg, 30)
+    print(f"exact:        max rot err {r_deg.max():.2e} deg, "
+          f"max tran err {t_deg.max():.2e} deg, AUC@30 {auc30:.4f}")
+    ok &= r_deg.max() < 1e-4 and t_deg.max() < 1e-3 and auc30 > 0.999
+
+    # 2) rotate view 2 by exactly 10 degrees: every pair involving view 2
+    # reports 10 deg rotation error, all other pairs 0
+    pred = gt_c2w.copy()
+    pred[2, :3, :3] = pred[2, :3, :3] @ axis_angle([0.3, 1.0, 0.2], 10.0)
+    r_deg, t_deg = camera_to_rel_deg(se3_inverse_np(pred), gt_w2c)
+    n = len(frames)
+    pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    touched = np.asarray([2 in p for p in pairs])
+    print(f"rot 10deg @v2: touched pairs rot err "
+          f"[{r_deg[touched].min():.3f}, {r_deg[touched].max():.3f}] deg, "
+          f"untouched max {r_deg[~touched].max():.2e} deg")
+    ok &= np.allclose(r_deg[touched], 10.0, atol=1e-3)
+    ok &= r_deg[~touched].max() < 1e-4
+
+    # 3) perturb view 3's position: translation-direction errors on touched
+    # pairs are meaningfully nonzero (degrees-scale, not noise) and grow
+    # with the perturbation
+    errs = []
+    for mag in (0.02, 0.08):
+        pred = gt_c2w.copy()
+        pred[3, :3, 3] = pred[3, :3, 3] + np.asarray([0.0, mag, 0.0])
+        r_deg, t_deg = camera_to_rel_deg(se3_inverse_np(pred), gt_w2c)
+        touched = np.asarray([3 in p for p in pairs])
+        errs.append(float(np.median(t_deg[touched])))
+        auc30, _ = calculate_auc(r_deg, t_deg, 30)
+        print(f"tran +{mag}m @v3: touched median tran err {errs[-1]:.2f} deg, "
+              f"untouched max {t_deg[~touched].max():.2e} deg, "
+              f"AUC@30 {auc30:.4f}")
+        ok &= t_deg[~touched].max() < 1e-3
+    ok &= 1.0 < errs[0] < errs[1] < 179.0
+
+    print("SELF-CHECK", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--jsonl", type=str, default=None,
@@ -39,7 +122,17 @@ def main():
                          "--out_cache) instead of running the model — the "
                          "shared-seed parity weights are what make a pseudo-"
                          "GT comparison meaningful")
+    ap.add_argument("--self_check", action="store_true",
+                    help="validate the metric math itself on non-degenerate "
+                         "synthetic poses: score the synthetic scene's GT "
+                         "(and known perturbations of it) as predictions — "
+                         "rotation AUC must hit the injected angles exactly "
+                         "and translation-direction AUC must be meaningful, "
+                         "not quantization noise (no model involved)")
     args = ap.parse_args()
+
+    if args.self_check:
+        return _self_check()
 
     if args.pred_npz is not None and args.pseudo_gt_npz is None:
         # the single cached prediction would silently be scored against

@@ -51,6 +51,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib.resize_bilinear_f32.argtypes = [
                 p(ctypes.c_float), i64, i64, p(ctypes.c_float), i64, i64,
             ]
+            lib.vit_preprocess_u8.argtypes = [
+                p(ctypes.c_uint8), i64, i64,        # src, sh, sw
+                i64, i64,                            # mh, mw (stage-1)
+                i64, i64,                            # th, tw (smart-resized)
+                p(ctypes.c_float), p(ctypes.c_float),  # mean, std
+                i64, i64, i64,                       # patch, merge, tps
+                p(ctypes.c_float),                   # out rows
+            ]
             i32p = p(ctypes.c_int32)
             i64p = p(ctypes.c_int64)
             u8p = p(ctypes.c_uint8)
@@ -156,6 +164,48 @@ def depth_unproject(depth: np.ndarray, intrinsics: np.ndarray, cam2world: np.nda
         valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return pts, valid.astype(bool)
+
+
+def vit_preprocess(
+    image: np.ndarray,  # (H, W, 3) uint8 RGB
+    target_hw=(768, 768),
+    patch_size: int = 14,
+    merge_size: int = 2,
+    temporal_patch_size: int = 2,
+):
+    """Fused native Qwen2-VL preprocess: bicubic resize (antialiased, PIL
+    convention) -> smart_resize dims -> CLIP normalize -> merge-grouped patch
+    rows, one C++ pass. Returns (rows (gh*gw, C*tps*p*p) float32, grid_thw).
+    ~20x the PIL+numpy chain on one host core (scripts/bench_data.py).
+    Falls back to data/vit_preprocess.preprocess_vit_image without g++."""
+    from ..data.vit_preprocess import (
+        OPENAI_CLIP_MEAN, OPENAI_CLIP_STD, preprocess_vit_image, smart_resize,
+    )
+
+    lib = get_lib()
+    if lib is None or image.dtype != np.uint8 or image.ndim != 3 \
+            or image.shape[2] != 3:
+        return preprocess_vit_image(
+            image, target_hw, patch_size, merge_size
+        )
+    mh, mw = target_hw
+    th, tw = smart_resize(mh, mw, factor=patch_size * merge_size)
+    gh, gw = th // patch_size, tw // patch_size
+    rows = np.empty(
+        (gh * gw, 3 * temporal_patch_size * patch_size * patch_size),
+        np.float32,
+    )
+    img = np.ascontiguousarray(image)
+    mean = np.ascontiguousarray(OPENAI_CLIP_MEAN, np.float32)
+    std = np.ascontiguousarray(OPENAI_CLIP_STD, np.float32)
+    lib.vit_preprocess_u8(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        img.shape[0], img.shape[1], mh, mw, th, tw,
+        _fptr(mean), _fptr(std),
+        patch_size, merge_size, temporal_patch_size,
+        _fptr(rows),
+    )
+    return rows, (1, gh, gw)
 
 
 def resize_bilinear(src: np.ndarray, out_hw) -> np.ndarray:

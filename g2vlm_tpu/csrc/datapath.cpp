@@ -169,3 +169,187 @@ void resize_bilinear_f32(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fused Qwen2-VL ViT host preprocess: uint8 HWC RGB -> bicubic resize (Keys
+// a=-0.5 with PIL-style support scaling on downscale, i.e. antialiased) ->
+// CLIP normalize -> merge-grouped patch rows, all in one pass with no
+// intermediate CHW tensor or 8-D transpose. Replaces the PIL+numpy chain
+// (data/vit_preprocess.py:81-107 / reference image_processing_qwen2_vl.py:
+// 155-273 + transforms.py:151-178) that measured 1.6 img/s on one host core.
+// Float accumulation throughout (PIL quantizes to uint8 between the two
+// separable passes, so outputs differ by <~1/255 per channel pre-normalize).
+
+namespace {
+
+struct ResamplePlan {
+    // for each output index: first source index + kernel taps
+    std::int64_t ksize;
+    // bounds[i*2] = first tap source index, bounds[i*2+1] = tap count
+    std::int64_t* bounds;
+    float* coeffs;  // (out, ksize)
+};
+
+static inline double keys_cubic(double x) {
+    // Keys bicubic, a = -0.5 (PIL's BICUBIC filter)
+    const double a = -0.5;
+    x = std::abs(x);
+    if (x < 1.0) return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0;
+    if (x < 2.0) return (((x - 5.0) * x + 8.0) * x - 4.0) * a;
+    return 0.0;
+}
+
+static ResamplePlan make_plan(std::int64_t in, std::int64_t out) {
+    const double support0 = 2.0;  // bicubic support
+    double scale = (double)in / out;
+    double filterscale = scale < 1.0 ? 1.0 : scale;
+    double support = support0 * filterscale;
+    std::int64_t ksize = (std::int64_t)std::ceil(support) * 2 + 1;
+    ResamplePlan p;
+    p.ksize = ksize;
+    p.bounds = new std::int64_t[out * 2];
+    p.coeffs = new float[out * ksize];
+    for (std::int64_t xx = 0; xx < out; ++xx) {
+        double center = (xx + 0.5) * scale;
+        std::int64_t xmin = (std::int64_t)(center - support + 0.5);
+        if (xmin < 0) xmin = 0;
+        std::int64_t xmax = (std::int64_t)(center + support + 0.5);
+        if (xmax > in) xmax = in;
+        std::int64_t n = xmax - xmin;
+        double ss = 0.0;
+        double* tmp = new double[n];
+        for (std::int64_t i = 0; i < n; ++i) {
+            double w = keys_cubic((xmin + i - center + 0.5) / filterscale);
+            tmp[i] = w;
+            ss += w;
+        }
+        for (std::int64_t i = 0; i < n; ++i)
+            p.coeffs[xx * ksize + i] = (float)(ss != 0.0 ? tmp[i] / ss : 0.0);
+        for (std::int64_t i = n; i < ksize; ++i) p.coeffs[xx * ksize + i] = 0.f;
+        p.bounds[xx * 2] = xmin;
+        p.bounds[xx * 2 + 1] = n;
+        delete[] tmp;
+    }
+    return p;
+}
+
+static void free_plan(ResamplePlan& p) {
+    delete[] p.bounds;
+    delete[] p.coeffs;
+}
+
+// separable bicubic resize: uint8 HWC -> float32 HWC (values in [0,255])
+static void resize_bicubic_u8(
+    const std::uint8_t* src, std::int64_t sh, std::int64_t sw,
+    float* dst, std::int64_t dh, std::int64_t dw, std::int64_t c)
+{
+    ResamplePlan px = make_plan(sw, dw);
+    ResamplePlan py = make_plan(sh, dh);
+    // horizontal pass: (sh, dw, c)
+    float* mid = new float[sh * dw * c];
+    for (std::int64_t y = 0; y < sh; ++y) {
+        const std::uint8_t* row = src + y * sw * c;
+        for (std::int64_t x = 0; x < dw; ++x) {
+            std::int64_t x0 = px.bounds[x * 2], n = px.bounds[x * 2 + 1];
+            const float* k = px.coeffs + x * px.ksize;
+            float acc[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+            for (std::int64_t i = 0; i < n; ++i) {
+                const std::uint8_t* pix = row + (x0 + i) * c;
+                for (std::int64_t ch = 0; ch < c; ++ch)
+                    acc[ch] += k[i] * (float)pix[ch];
+            }
+            float* out = mid + (y * dw + x) * c;
+            // PIL clips each separable pass to the uint8 range (bicubic
+            // overshoots); clamp without quantizing
+            for (std::int64_t ch = 0; ch < c; ++ch)
+                out[ch] = std::clamp(acc[ch], 0.f, 255.f);
+        }
+    }
+    // vertical pass
+    for (std::int64_t y = 0; y < dh; ++y) {
+        std::int64_t y0 = py.bounds[y * 2], n = py.bounds[y * 2 + 1];
+        const float* k = py.coeffs + y * py.ksize;
+        for (std::int64_t x = 0; x < dw; ++x) {
+            float acc[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+            for (std::int64_t i = 0; i < n; ++i) {
+                const float* pix = mid + ((y0 + i) * dw + x) * c;
+                for (std::int64_t ch = 0; ch < c; ++ch)
+                    acc[ch] += k[i] * pix[ch];
+            }
+            float* out = dst + (y * dw + x) * c;
+            for (std::int64_t ch = 0; ch < c; ++ch)
+                out[ch] = std::clamp(acc[ch], 0.f, 255.f);
+        }
+    }
+    delete[] mid;
+    free_plan(px);
+    free_plan(py);
+}
+
+}  // namespace
+
+extern "C" {
+
+// uint8 HWC RGB (sh, sw) -> patch rows (gh*gw, c*tps*p*p), fused two-stage
+// resize (to 768-budget target, then smart_resize multiple-of-28 dims —
+// both computed by the Python caller), CLIP normalize, and patch tiling.
+// Layout matches data/vit_preprocess.py:tile_patches with gt=1:
+//   row index = (ghh/m, gww/m, ghh%m, gww%m) row-major over merge groups;
+//   row payload = [ch][t][py][px] with the single frame duplicated tps times.
+void vit_preprocess_u8(
+    const std::uint8_t* src, std::int64_t sh, std::int64_t sw,
+    std::int64_t mh, std::int64_t mw,   // stage-1 target (e.g. 768x768)
+    std::int64_t th, std::int64_t tw,   // stage-2 smart_resize dims
+    const float* mean, const float* stdev,  // (3,)
+    std::int64_t patch, std::int64_t merge, std::int64_t tps,
+    float* out_rows)
+{
+    const std::int64_t c = 3;
+    float* stage1 = new float[mh * mw * c];
+    resize_bicubic_u8(src, sh, sw, stage1, mh, mw, c);
+    float* img = stage1;
+    float* stage2 = nullptr;
+    if (th != mh || tw != mw) {
+        // PIL round-trips through uint8 between the two resizes; quantize to
+        // match (cheap, and keeps the csrc path within 1/255 of the host one)
+        std::uint8_t* q = new std::uint8_t[mh * mw * c];
+        for (std::int64_t i = 0; i < mh * mw * c; ++i) {
+            float v = stage1[i];
+            v = v < 0.f ? 0.f : (v > 255.f ? 255.f : v);
+            q[i] = (std::uint8_t)(v + 0.5f);
+        }
+        stage2 = new float[th * tw * c];
+        resize_bicubic_u8(q, mh, mw, stage2, th, tw, c);
+        delete[] q;
+        img = stage2;
+    }
+    const std::int64_t gh = th / patch, gw = tw / patch;
+    const std::int64_t m = merge, p = patch;
+    const std::int64_t row_len = c * tps * p * p;
+    // out row order: (gh/m, gw/m, m, m); payload [ch][t][py][px]
+    for (std::int64_t gy = 0; gy < gh; ++gy) {
+        for (std::int64_t gx = 0; gx < gw; ++gx) {
+            std::int64_t row =
+                ((gy / m) * (gw / m) + (gx / m)) * (m * m)
+                + (gy % m) * m + (gx % m);
+            float* out = out_rows + row * row_len;
+            for (std::int64_t ch = 0; ch < c; ++ch) {
+                float mu = mean[ch], sd = stdev[ch];
+                for (std::int64_t t = 0; t < tps; ++t) {
+                    for (std::int64_t py = 0; py < p; ++py) {
+                        const float* srow =
+                            img + ((gy * p + py) * tw + gx * p) * c + ch;
+                        float* orow =
+                            out + ((ch * tps + t) * p + py) * p;
+                        for (std::int64_t px = 0; px < p; ++px)
+                            orow[px] = (srow[px * c] / 255.f - mu) / sd;
+                    }
+                }
+            }
+        }
+    }
+    delete[] stage2;
+    delete[] stage1;
+}
+
+}  // extern "C"

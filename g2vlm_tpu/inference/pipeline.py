@@ -9,6 +9,7 @@ bucket, cached across calls.
 from __future__ import annotations
 
 import functools
+import os
 import time
 from typing import Dict, List, NamedTuple, Optional, Sequence
 
@@ -93,6 +94,19 @@ class G2VLMPipeline:
             start_of_image=151652, end_of_image=151653,
         )
         self.compute_dtype = compute_dtype
+        if (
+            attn_impl == "auto"
+            and jax.default_backend() == "tpu"
+            and os.environ.get("G2VLM_ATTN_INT8", "0") == "1"
+        ):
+            # OPT-IN quantized serving mode (G2VLM_ATTN_INT8=1): int8 QK^T
+            # prefill attention — the v5e MXU runs int8 at 2x bf16, worth
+            # +0.97 fps at 32-view recon (18.73 vs 17.76). NOT the default:
+            # per-layer quantization noise compounds across the 28-layer MoT
+            # to ~1.3e-1 max rel on the recon outputs (results/
+            # ab_int8_r4.log), an order past the 3e-2 bf16 parity budget.
+            # Training never takes this path (the quantizer has no VJP).
+            attn_impl = "pallas_int8"
         self.attn_impl = attn_impl
         self.seq_pad_multiple = seq_pad_multiple
         self._recon_jit = functools.lru_cache(maxsize=16)(self._make_recon_fn)

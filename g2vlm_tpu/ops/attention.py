@@ -166,6 +166,13 @@ def segment_attention(
     """Packed segment-masked GQA attention. Returns (S_q, num_heads, head_dim)."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    if impl == "pallas_int8" and (
+        jax.default_backend() != "tpu"
+        or q.shape[0] * k.shape[0] < 4096 * 4096
+    ):
+        # int8 QK pays off on large prefill tiles; small phases (text spans,
+        # decode-adjacent calls) and non-TPU backends take the normal rules
+        impl = "auto"
     if impl == "auto":
         import os
 
@@ -180,13 +187,16 @@ def segment_attention(
             impl = "dense"
         else:
             impl = "chunked"
-    if impl == "pallas":
+    if impl in ("pallas", "pallas_int8"):
         try:
             from .flash_attention import flash_segment_attention
 
             return flash_segment_attention(
                 q, k, v, q_info, kv_info, scale=scale,
                 interpret=FORCE_PALLAS_INTERPRET,
+                # int8 QK^T (inference only — non-differentiable by design;
+                # the auto rule never selects it, callers opt in)
+                int8_qk=(impl == "pallas_int8"),
             )
         except ImportError:
             impl = "chunked"

@@ -491,6 +491,129 @@ def _flash_bwd_dkv_kernel(
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
+def _flash_kernel_int8(
+    codes_ref,  # (n_q, n_kv) int32 SMEM (scalar prefetch)
+    alphas_ref,  # (H,) fp32 SMEM (scalar prefetch): per-q-head dequant
+                 # scale folded with softmax scale * log2(e)
+    q_ref,  # (G, BQ, D) int8 — per-head symmetric quantization
+    k_ref,  # (1, BK, D) int8 — per-token symmetric quantization
+    v_ref,  # (1, BK, D) bf16
+    ks_ref,  # (1, 1, BK) fp32 per-token k dequant scales
+    qm_ref, km_ref,
+    o_ref,
+    l_scr, acc_scr,
+    *,
+    n_kv_blocks: int,
+):
+    """int8 QK^T forward (SageAttention-style, inference only): the QK dot
+    runs on the v5e MXU at 2x the bf16 rate (measured 23.6 -> 20.2 ms/layer
+    at the 25k-token prefill, scripts/micro_segment_dissect.py). Scores
+    dequantize with one row-broadcast and one column-broadcast multiply
+    fused into the exp2 pass; shiftless static-max softmax as in
+    _flash_kernel. PV stays bf16. Quantization noise is bf16-comparable
+    with per-head q / per-token k scales (parity gate:
+    scripts/parity_tpu_bf16.py)."""
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    code = codes_ref[i, j]
+    g, bq, d = q_ref.shape
+    hh = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    def update(mask):
+        s32 = jax.lax.dot_general(
+            q_ref[...].reshape(g * bq, d),
+            k_ref[0],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (G*BQ, BK)
+        # per-q-head dequant column (G*BQ, 1) from SMEM scalars
+        acol = jnp.concatenate(
+            [jnp.full((bq, 1), alphas_ref[hh * g + hl], jnp.float32)
+             for hl in range(g)],
+            axis=0,
+        )
+        s = s32.astype(jnp.float32) * acol * ks_ref[0]
+        p = jnp.exp2(jnp.minimum(s, _SAT))
+        if mask is not None:
+            p = jnp.where(mask, p, 0.0)
+        l_scr[:, :1] += jnp.sum(p, axis=1, keepdims=True)
+        acc_scr[:] += jax.lax.dot_general(
+            p.astype(v_ref.dtype),
+            v_ref[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(code == BLOCK_FULL)
+    def _():
+        update(None)
+
+    @pl.when(code == BLOCK_PARTIAL)
+    def _():
+        update(jnp.tile(_tile_mask(qm_ref, km_ref), (g, 1)))
+
+    @pl.when(j == n_kv_blocks - 1)
+    def _():
+        l = l_scr[:, :1]
+        out = acc_scr[:] / jnp.maximum(l, 1e-30)
+        o_ref[...] = out.reshape(g, bq, d).astype(o_ref.dtype)
+
+
+def _flash_int8(qp, kp, vp, qm, km, scale, block_q, block_kv, interpret):
+    """Quantize + launch the int8-QK forward. NOT differentiable by design
+    (jnp.round on the int8 path has no VJP): training must use _flash."""
+    h, sq_p, d = qp.shape
+    kvh, skv_p, _ = kp.shape
+    g = h // kvh
+    n_q = sq_p // block_q
+    n_kv = skv_p // block_kv
+    codes = _block_codes(qm, km, block_q, block_kv)
+
+    qf = qp.astype(jnp.float32)
+    qscale = jnp.maximum(
+        jnp.max(jnp.abs(qf), axis=(1, 2)), 1e-6
+    ) / 127.0  # (H,)
+    q8 = jnp.round(qf / qscale[:, None, None]).astype(jnp.int8)
+    alphas = (qscale * (scale * _LOG2E)).astype(jnp.float32)
+    kf = kp.astype(jnp.float32)
+    kscale = jnp.maximum(jnp.max(jnp.abs(kf), axis=2), 1e-6) / 127.0
+    k8 = jnp.round(kf / kscale[..., None]).astype(jnp.int8)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(kvh, n_q, n_kv),
+        in_specs=[
+            _q_spec(block_q, d, g),
+            _kv_spec(block_kv, d),
+            _kv_spec(block_kv, d),
+            pl.BlockSpec(
+                # (KVH, 1, Skv) with a middle singleton: Mosaic requires the
+                # sublane block dim to divide 8 or equal the array dim
+                (1, 1, block_kv), lambda hh, i, j, *_: (hh, 0, j),
+                memory_space=pltpu.VMEM,
+            ),
+            *_meta_specs(block_q, block_kv),
+        ],
+        out_specs=_q_spec(block_q, d, g),
+        scratch_shapes=[
+            pltpu.VMEM((g * block_q, 128), jnp.float32),
+            pltpu.VMEM((g * block_q, d), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_flash_kernel_int8, n_kv_blocks=n_kv),
+        out_shape=jax.ShapeDtypeStruct((h, sq_p, d), vp.dtype),
+        grid_spec=grid_spec,
+        compiler_params=_SEMANTICS,
+        interpret=interpret,
+    )(codes, alphas, q8, k8, vp, kscale[:, None].astype(jnp.float32), qm, km)
+
+
 def _pack_meta(info: TokenInfo) -> jax.Array:
     return jnp.stack(
         [info.doc_id, info.fn_id, info.noise_id, info.pos], axis=1
@@ -793,6 +916,7 @@ def flash_segment_attention(
     block_kv: int = 1024,
     interpret: bool = False,
     static_max: Optional[bool] = None,
+    int8_qk: bool = False,
 ) -> jax.Array:
     """Defaults (512, 1024) from v5e sweeps at the 32-view prefill shape
     (25088 tokens): 33.6 ms vs 147 ms blockwise-XLA (4.4x) with GQA packing
@@ -835,9 +959,18 @@ def flash_segment_attention(
         import os
 
         static_max = os.environ.get("G2VLM_STATIC_MAX", "1") == "1"
-    out = _flash(
-        qp, kp, vp, qm, km, scale, block_q, block_kv, interpret, static_max
-    )
+    if int8_qk and static_max:
+        # inference-only int8 QK^T (no VJP: jnp.round in the quantizer is
+        # non-differentiable, so a grad trace fails loudly instead of
+        # silently training through quantization noise)
+        out = _flash_int8(
+            qp, kp, vp, qm, km, scale, block_q, block_kv, interpret
+        )
+    else:
+        out = _flash(
+            qp, kp, vp, qm, km, scale, block_q, block_kv, interpret,
+            static_max,
+        )
     return jnp.swapaxes(out, 0, 1)[:s_q]
 
 

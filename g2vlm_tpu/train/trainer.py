@@ -246,11 +246,22 @@ def make_optimizer(
     freeze_und: bool = False,
     freeze_recon: bool = False,
     params: Optional[Dict] = None,
+    mu_dtype=None,
 ):
+    """mu_dtype=bfloat16 stores AdamW's first moment in bf16 — 2 bytes/param
+    off the optimizer state (~4.2 GB at the 2.1B-trainable recon stage, vs
+    the 909 MB that kept 16-view recon training from fitting single-chip;
+    docs/BENCH_NOTES.md HBM table). The second moment stays fp32 (its
+    dynamic range is what Adam is sensitive to). The reference's equivalent
+    memory lever is CPU optimizer offload (train/fsdp_utils.py:107-131) —
+    a non-starter through a tunneled chip; moment compression is the
+    TPU-native form."""
     lr = schedule if schedule is not None else learning_rate
     opt = optax.chain(
         optax.clip_by_global_norm(grad_clip),
-        optax.adamw(lr, b1=b1, b2=b2, weight_decay=weight_decay),
+        optax.adamw(
+            lr, b1=b1, b2=b2, weight_decay=weight_decay, mu_dtype=mu_dtype
+        ),
     )
     need_mask = freeze_und or freeze_recon or (
         params is not None and "segformer" in params

@@ -362,3 +362,62 @@ def test_pipelined_kernel_matches_plain(rng, monkeypatch):
         np.testing.assert_allclose(
             np.asarray(pg), np.asarray(gg), atol=1e-5, rtol=1e-5
         )
+
+
+@pytest.mark.parametrize(
+    "case",
+    [
+        dict(S=256, sample_lens=[256], split_lens=[256], modes=["causal"]),
+        dict(
+            S=256,
+            sample_lens=[100, 156],
+            split_lens=[40, 60, 56, 100],
+            modes=["causal", "full", "causal", "full"],
+        ),
+    ],
+)
+def test_int8_qk_matches_dense(rng, case):
+    """Inference int8 QK^T path (per-head q / per-token k scales): mask
+    semantics identical to the fp kernel, output within quantization noise
+    of the dense reference (served-path budget is 3e-2 rel)."""
+    S, H, KVH, D = case["S"], 4, 2, 128
+    q = rng.standard_normal((S, H, D)).astype(np.float32) * 0.3
+    k = rng.standard_normal((S, KVH, D)).astype(np.float32) * 0.3
+    v = rng.standard_normal((S, KVH, D)).astype(np.float32)
+    info = make_token_info_np(case["sample_lens"], case["split_lens"], case["modes"])
+
+    ref = segment_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), info, info, impl="dense"
+    )
+    got = flash_segment_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), info, info,
+        block_q=128, block_kv=128, interpret=True, int8_qk=True,
+    )
+    err = np.abs(np.asarray(got) - np.asarray(ref)).max() / np.abs(ref).max()
+    assert err < 2e-2, f"int8 qk rel err {err:.3e}"
+    # the masked (causal/full/doc) structure must be exact: fully-masked
+    # rows/pads behave identically
+    assert np.isfinite(np.asarray(got)).all()
+
+
+def test_int8_qk_not_differentiable():
+    """Training must not silently flow through quantization noise: taking a
+    grad through the int8 path raises instead."""
+    import jax
+
+    S, H, KVH, D = 128, 2, 2, 128
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((S, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((S, KVH, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((S, KVH, D)), jnp.float32)
+    info = make_token_info_np([S], [S], ["causal"])
+
+    def loss(q):
+        out = flash_segment_attention(
+            q, k, v, info, info, block_q=128, block_kv=128,
+            interpret=True, int8_qk=True,
+        )
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    with pytest.raises(Exception):
+        jax.grad(loss)(q)

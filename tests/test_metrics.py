@@ -64,3 +64,17 @@ def test_camera_auc_perfect_prediction(rng):
     out = jm.camera_auc(poses, poses)
     for v in out.values():
         assert v > 0.9  # perfect prediction => errors ~0 => AUC ~ 1
+
+
+def test_eval_camera_self_check():
+    """Translation-direction metric validated on non-degenerate synthetic GT
+    with known injected perturbations (VERDICT r3 weak #4): exact predictions
+    score 0 error / AUC 1, a 10-degree rotation of one view reports exactly
+    10 degrees on its pairs, and position perturbations produce degrees-scale
+    translation-direction errors that grow with magnitude."""
+    import importlib
+    import sys
+
+    sys.path.insert(0, ".")
+    ec = importlib.import_module("eval_camera")
+    assert ec._self_check() == 0

@@ -74,3 +74,42 @@ def test_build_sequence_metadata_matches_python(lib):
     np.testing.assert_array_equal(ids, py.text_ids)
     assert nat["seq_len"] == py.seq_len
     assert nat["next_rope_pos"] == py.next_rope_pos
+
+
+def test_vit_preprocess_native_matches_python(lib, rng):
+    """Fused C++ preprocess (resize+normalize+patch rows) vs the PIL+numpy
+    chain. The C++ path float-accumulates where PIL quantizes to uint8
+    between passes, so agreement is ~1/255 pre-normalize (≈0.016 in CLIP-
+    normalized units) — the training-path noise floor, far under cojitter."""
+    from g2vlm_tpu.data.vit_preprocess import preprocess_vit_image
+
+    img = (rng.random((300, 400, 3)) * 255).astype(np.uint8)
+    ref_rows, ref_grid = preprocess_vit_image(img, target_hw=(112, 112))
+    got_rows, got_grid = csrc.vit_preprocess(img, target_hw=(112, 112))
+    assert got_grid == tuple(ref_grid)
+    assert got_rows.shape == ref_rows.shape
+    err = np.abs(got_rows - ref_rows).max()
+    assert err < 3.5 / 255.0 / 0.26, f"max abs err {err}"  # ~3 uint8 steps
+    # same merge-group row ordering: correlation per row must be ~1
+    corr = np.sum(got_rows * ref_rows) / np.sqrt(
+        np.sum(got_rows**2) * np.sum(ref_rows**2)
+    )
+    assert corr > 0.9999
+
+
+def test_vit_preprocess_fast_dispatch(rng):
+    """preprocess_vit_image_fast returns the same shapes through either
+    backend and respects the opt-out env."""
+    import os
+
+    from g2vlm_tpu.data.vit_preprocess import preprocess_vit_image_fast
+
+    img = (rng.random((150, 200, 3)) * 255).astype(np.uint8)
+    rows, grid = preprocess_vit_image_fast(img, target_hw=(112, 112))
+    os.environ["G2VLM_NATIVE_VIT"] = "0"
+    try:
+        rows2, grid2 = preprocess_vit_image_fast(img, target_hw=(112, 112))
+    finally:
+        os.environ.pop("G2VLM_NATIVE_VIT")
+    assert rows.shape == rows2.shape and tuple(grid) == tuple(grid2)
+    assert np.abs(rows - rows2).max() < 3.5 / 255.0 / 0.26

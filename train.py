@@ -31,6 +31,11 @@ def parse_args():
     ap.add_argument("--warmup", type=int, default=100)
     ap.add_argument("--weight_decay", type=float, default=0.05)
     ap.add_argument("--ema_decay", type=float, default=0.9999)
+    ap.add_argument("--mu_dtype", type=str, default=None,
+                    choices=[None, "float32", "bfloat16"],
+                    help="AdamW first-moment storage dtype; bfloat16 saves "
+                         "2 bytes/trainable param of optimizer state "
+                         "(~4.2 GB at the 2.1B recon stage)")
     ap.add_argument("--ckpt_every", type=int, default=500)
     ap.add_argument("--keep_ckpts", type=int, default=2)
     ap.add_argument("--log_every", type=int, default=10)
@@ -41,6 +46,12 @@ def parse_args():
                          "axis for attention (context parallelism; "
                          "parallel/sequence.py)")
     ap.add_argument("--max_num_tokens", type=int, default=36864)
+    ap.add_argument("--expected_num_tokens", type=int, default=None,
+                    help="packer emit threshold (default 8/9 of "
+                         "--max_num_tokens, the reference ratio)")
+    ap.add_argument("--image_num_range", type=int, nargs=2, default=(2, 24),
+                    help="per-step random view-count range the packer draws "
+                         "(reference dataset_base.py:115)")
     ap.add_argument("--max_vit_patches", type=int, default=0,
                     help="fixed ViT patch-row slots per pack (0 = no vit "
                          "branch; required >0 for joint recon+und data)")
@@ -138,11 +149,24 @@ def packer_batches(args, cfg, new_token_ids, tokenizer, data_status):
         tokenizer=tokenizer,
         data_status=data_status,
     )
+    if new_token_ids is None:
+        # no checkpoint tokenizer: special tokens sit at the top of the
+        # vocab, like add_special_tokens appends them (reference
+        # data/data_utils.py:278-313)
+        v = cfg.llm.vocab_size
+        new_token_ids = dict(
+            bos_token_id=v - 4, eos_token_id=v - 3,
+            start_of_image=v - 2, end_of_image=v - 1,
+        )
+    expected = args.expected_num_tokens or args.max_num_tokens * 8 // 9
     packed = PackedIterableDataset(
         groups,
         new_token_ids,
         PackerConfig(
+            expected_num_tokens=expected,
+            max_num_tokens_per_sample=min(16384, args.max_num_tokens // 2),
             max_num_tokens=args.max_num_tokens,
+            image_num_range=tuple(args.image_num_range),
             sorted_layout=args.split_layout,
             geo_start_bucket=args.geo_start_bucket,
             max_vit_patches=args.max_vit_patches,
@@ -259,13 +283,17 @@ def main():
         schedule=schedule, weight_decay=args.weight_decay,
         freeze_und=args.freeze_und, freeze_recon=args.freeze_recon,
         params=params,
+        mu_dtype=jnp.bfloat16 if args.mu_dtype == "bfloat16" else None,
     )
     state = trainer.init_train_state(params, optimizer, ema=True)
     mgr = CheckpointManager(args.checkpoint_dir, keep=args.keep_ckpts)
     data_status = None
     if args.resume and mgr.latest_step() is not None:
         state, data_status = mgr.restore(state)
-        logger.info(f"resumed at step {int(state.step)}")
+        logger.info(
+            f"resumed at step {int(state.step)} "
+            f"data_status={data_status}"
+        )
 
     # one jitted program per geo_start bucket (geo_start is a static arg;
     # the packer buckets it so in practice there are only a few)
