@@ -267,12 +267,64 @@ class G2VLMPipeline:
 
         n, h0, w0, _ = frames.shape
         th, tw = target_hw(h0, w0, new_width, self.cfg.dino_patch_size)
-        fn = self._recon_u8_jit((n, h0, w0, th, tw, prompt))
-        out = fn(self.params, jnp.asarray(frames))
+        chunks = int(os.environ.get("G2VLM_UPLOAD_CHUNKS", "4"))
+        if chunks > 1 and n % chunks == 0 and n >= 2 * chunks:
+            # chunked-upload path: the host->device frame transfer is the
+            # per-call serial wall (~600 ms for 32 uint8 views through the
+            # tunneled link). Encoding view chunks in separate programs lets
+            # chunk i's dino encode run while chunk i+1 is still uploading
+            # (XLA dispatch is async); the main program then takes the
+            # pre-encoded tokens.
+            nc = n // chunks
+            enc = self._dino_encode_u8_jit((nc, h0, w0, th, tw))
+            embs = tuple(
+                enc(self.params, jnp.asarray(frames[i * nc : (i + 1) * nc]))
+                for i in range(chunks)
+            )
+            fn = self._recon_emb_jit((n, th, tw, prompt, chunks))
+            out = fn(self.params, embs)
+        else:
+            fn = self._recon_u8_jit((n, h0, w0, th, tw, prompt))
+            out = fn(self.params, jnp.asarray(frames))
         # the in-module sync probe is plumbing, not a model output: expose it
         # out-of-band (fetching these 4 bytes is a full completion barrier)
         self.last_sync = out.pop("_sync")
         return out
+
+    @functools.lru_cache(maxsize=8)
+    def _dino_encode_u8_jit(self, key):
+        nc, h0, w0, th, tw = key
+
+        def fn(params, frames):
+            from ..data.device_preprocess import preprocess_views_device
+
+            views = preprocess_views_device(frames, (th, tw))
+            return jg.encode_dino_to_llm(
+                params, views.astype(self.compute_dtype), self.cfg,
+                self.compute_dtype,
+            )
+
+        return jax.jit(fn)
+
+    @functools.lru_cache(maxsize=8)
+    def _recon_emb_jit(self, key):
+        n, th, tw, prompt, chunks = key
+        p = self.cfg.dino_patch_size
+        prefill = self.build_recon_prefill(n, th // p, tw // p, prompt=prompt)
+
+        def fn(params, embs):
+            emb = jnp.concatenate(embs, axis=0)
+            out = jg.recon_forward(
+                params, prefill, None, self.cfg,
+                compute_dtype=self.compute_dtype, attn_impl=self.attn_impl,
+                dino_emb=emb, img_hw=(th, tw),
+            )
+            out["_sync"] = jax.lax.slice(
+                out["points"].reshape(-1), (0,), (1,)
+            )
+            return out
+
+        return jax.jit(fn)
 
     @functools.lru_cache(maxsize=8)
     def _recon_u8_jit(self, key):

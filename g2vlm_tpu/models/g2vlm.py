@@ -345,6 +345,7 @@ def prefill_hidden(
     return_kv: bool = False,
     vit_coords: Optional[jax.Array] = None,
     vit_seg: Optional[jax.Array] = None,
+    dino_emb: Optional[jax.Array] = None,
 ):
     """One packed prefill forward. Returns (hidden (S, D), kv or None).
 
@@ -352,6 +353,9 @@ def prefill_hidden(
     prepare_vit_images g2vlm.py:735-810) or as packed per-image grids
     (vit_coords/vit_seg -> qwen_vit.encode_packed), matching the reference's
     variable-grid flash-attn cu_seqlens path (modeling_qwen2_vl.py:1048-1072).
+    `dino_emb` (N*hw, D_llm) supplies pre-encoded geometry tokens (the
+    chunked-upload serving path encodes view chunks in separate programs so
+    uploads overlap encoder compute) instead of `dino_images`.
     """
     d = cfg.llm.hidden_size
     seq = jnp.zeros((len(prefill.doc_id), d), compute_dtype)
@@ -359,7 +363,11 @@ def prefill_hidden(
     seq = seq.at[jnp.asarray(prefill.text_indexes)].set(
         text_emb.astype(compute_dtype)
     )
-    if dino_images is not None and len(prefill.dino_indexes):
+    if dino_emb is not None and len(prefill.dino_indexes):
+        seq = seq.at[jnp.asarray(prefill.dino_indexes)].set(
+            dino_emb.astype(compute_dtype)
+        )
+    elif dino_images is not None and len(prefill.dino_indexes):
         dino_emb = encode_dino_to_llm(params, dino_images, cfg, compute_dtype)
         seq = seq.at[jnp.asarray(prefill.dino_indexes)].set(dino_emb)
     if vit_patches is not None and len(prefill.vit_indexes):
@@ -515,20 +523,44 @@ def _pi3_predict_full(
     remat: bool,
     global_ctx: jax.Array,  # (1, hw, D) frame-0 tokens for the cross decoder
 ) -> Dict[str, jax.Array]:
+    import os
+
     h, w = img_hw
     p = cfg.dino_patch_size
     hp, wp = h // p, w // p
     n = dino_hidden.shape[0]
     pos = pi3_heads.patch_positions(n, hp, wp)
 
-    point_hidden = pi3_heads.decoder_forward(
-        params["point_decoder"], dino_hidden, pos, cfg.pi3,
-        compute_dtype=compute_dtype, remat=remat,
-    )
-    camera_hidden = pi3_heads.decoder_forward(
-        params["camera_decoder"], dino_hidden, pos, cfg.pi3,
-        compute_dtype=compute_dtype, remat=remat,
-    )
+    want_conf = cfg.train_conf_pi3 and "conf_decoder" in params
+    conf_hidden = None
+    if os.environ.get("G2VLM_STACKED_HEADS", "1") == "1":
+        # point/camera(/conf) decoders are architecturally identical and read
+        # the same input: run them as ONE fused K-stacked scan (one attention
+        # kernel + one norm chain per block instead of K)
+        decs = [params["point_decoder"], params["camera_decoder"]]
+        if want_conf:
+            decs.append(params["conf_decoder"])
+        outs = pi3_heads.stacked_decoder_forward(
+            decs, dino_hidden, pos, cfg.pi3,
+            compute_dtype=compute_dtype, remat=remat,
+        )
+        point_hidden, camera_hidden = outs[0], outs[1]
+        if want_conf:
+            conf_hidden = outs[2]
+    else:
+        point_hidden = pi3_heads.decoder_forward(
+            params["point_decoder"], dino_hidden, pos, cfg.pi3,
+            compute_dtype=compute_dtype, remat=remat,
+        )
+        camera_hidden = pi3_heads.decoder_forward(
+            params["camera_decoder"], dino_hidden, pos, cfg.pi3,
+            compute_dtype=compute_dtype, remat=remat,
+        )
+        if want_conf:
+            conf_hidden = pi3_heads.decoder_forward(
+                params["conf_decoder"], dino_hidden, pos, cfg.pi3,
+                compute_dtype=compute_dtype, remat=remat,
+            )
 
     # fp32 heads (reference g2vlm.py:1200-1226)
     ret = pi3_heads.linear_pts3d(
@@ -560,11 +592,7 @@ def _pi3_predict_full(
         out["global_points"] = pi3_heads.linear_pts3d(
             params["global_point_head"], global_hidden.astype(jnp.float32), (h, w), p
         )
-    if cfg.train_conf_pi3 and "conf_decoder" in params:
-        conf_hidden = pi3_heads.decoder_forward(
-            params["conf_decoder"], dino_hidden, pos, cfg.pi3,
-            compute_dtype=compute_dtype, remat=remat,
-        )
+    if conf_hidden is not None:
         out["conf"] = pi3_heads.linear_pts3d(
             params["conf_head"], conf_hidden.astype(jnp.float32), (h, w), p
         )
@@ -579,17 +607,26 @@ def _pi3_predict_full(
 def recon_forward(
     params: Dict,
     prefill: PackedPrefill,
-    dino_images: jax.Array,  # (N, 3, H, W) RESNET-normalized
+    dino_images: Optional[jax.Array],  # (N, 3, H, W) RESNET-normalized
     cfg: G2VLMConfig,
     compute_dtype=jnp.float32,
     attn_impl: str = "auto",
+    dino_emb: Optional[jax.Array] = None,  # (N*hw, D) pre-encoded tokens
+    img_hw: Optional[Tuple[int, int]] = None,  # required with dino_emb
 ) -> Dict[str, jax.Array]:
     """Full multi-view reconstruction as ONE forward (reference G2VLM.recon,
-    g2vlm.py:1240-1303, collapsed from 3 phases into a single XLA program)."""
-    n, _, h, w = dino_images.shape
-    hidden, _ = prefill_hidden(
-        params, prefill, dino_images, cfg, compute_dtype, attn_impl
-    )
+    g2vlm.py:1240-1303, collapsed from 3 phases into a single XLA program).
+    With `dino_emb` the geometry encoder ran in earlier per-chunk programs
+    (chunked-upload serving path); `img_hw` then supplies the view size."""
+    if dino_emb is not None:
+        h, w = img_hw
+    else:
+        _, _, h, w = dino_images.shape
     hw = (h // cfg.dino_patch_size) * (w // cfg.dino_patch_size)
+    n = len(prefill.dino_indexes) // hw
+    hidden, _ = prefill_hidden(
+        params, prefill, dino_images, cfg, compute_dtype, attn_impl,
+        dino_emb=dino_emb,
+    )
     dino_hidden = hidden[jnp.asarray(prefill.dino_indexes)].reshape(n, hw, -1)
     return pi3_predict(params, dino_hidden, (h, w), cfg, compute_dtype)

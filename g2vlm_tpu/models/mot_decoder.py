@@ -86,11 +86,10 @@ def _select(is_geo, geo, und):
 
 
 def _mrope_fold(nh: int, hd: int):
-    """Signed column permutation folding rotate_half into projection
-    columns: (x @ w)[:, col]*sgn == rotate_half per head. The direct
-    rotate (lane slices + concat) plus the fp32 qk-norm cost ~12.8 ms per
-    MoT layer at the 32-view prefill as separate XLA passes; folded, the
-    rotation rides the projection GEMM and norm+rope fuse into one chain."""
+    """rotate_half as a signed permutation: rot(y)[i] = sgn[i] * y[idx_h[i]]
+    per head. The direct rotate (lane slices + concat) plus the fp32 qk-norm
+    cost ~12.8 ms per MoT layer at the 32-view prefill as separate XLA
+    passes; as a permutation it rides the MXU (see _rot_half)."""
     half = hd // 2
     idx_h = np.concatenate([np.arange(half, hd), np.arange(half)])
     sgn_h = np.concatenate(
@@ -101,13 +100,27 @@ def _mrope_fold(nh: int, hd: int):
     return col, sgn, idx_h
 
 
-def _ext_rot_cols(p, nh: int, hd: int):
-    """Projection widened with the rotated copy: x @ ext -> [y | rot(y)]."""
-    col, sgn, _ = _mrope_fold(nh, hd)
-    ext = {"w": jnp.concatenate([p["w"], p["w"][:, col] * sgn[None, :]], 1)}
-    if "b" in p:
-        ext["b"] = jnp.concatenate([p["b"], p["b"][col] * sgn])
-    return ext
+def _rot_half_mat(hd: int) -> np.ndarray:
+    """(hd, hd) signed-permutation matrix P with y @ P == rotate_half(y)."""
+    half = hd // 2
+    p = np.zeros((hd, hd), np.float32)
+    p[np.arange(half, hd), np.arange(half)] = -1.0
+    p[np.arange(half), np.arange(half, hd)] = 1.0
+    return p
+
+
+def _rot_half(y, nh: int, hd: int):
+    """rotate_half over flat projection output y (S, nh*hd) via a tiny
+    per-head (hd, hd) permutation matmul. Replaces the r3 'folded projection
+    columns' (an extra (d, nh*hd) block widening the q/k GEMMs): the
+    permutation costs ~nh*hd^2 MACs/token instead of d*nh*hd — ~12x fewer
+    FLOPs at the MoT shapes — and is bitwise identical (P entries are
+    exactly +-1; bf16 rounding is sign-symmetric). Still shuffle-free: the
+    rotation rides the MXU, not the VPU lane network."""
+    s = y.shape[0]
+    p = jnp.asarray(_rot_half_mat(hd), y.dtype)
+    r = jnp.einsum("snd,de->sne", y.reshape(s, nh, hd), p)
+    return r.reshape(s, nh * hd)
 
 
 def _norm_rope(q, q_rot, gamma, cos, sin, eps, nh, hd, dt):
@@ -166,34 +179,36 @@ def _geo_main_layer(
     eps = cfg.rms_norm_eps
 
     residual = x
-    nq, nk = nh * hd, kvh * hd
     h_geo = rms_norm(x, lp["ln_attn_geo"], eps)
-    qx = _lin(h_geo, _ext_rot_cols(lp["q_geo"], nh, hd), dt)
-    kx = _lin(h_geo, _ext_rot_cols(lp["k_geo"], kvh, hd), dt)
+    qx = _lin(h_geo, lp["q_geo"], dt)
+    kx = _lin(h_geo, lp["k_geo"], dt)
     v = _lin(h_geo, lp["v_geo"], dt)
     x_u = x[und_idx]
     h_u = rms_norm(x_u, lp["ln_attn"], eps)
-    qux = _lin(h_u, _ext_rot_cols(lp["q"], nh, hd), dt)
-    kux = _lin(h_u, _ext_rot_cols(lp["k"], kvh, hd), dt)
+    qux = _lin(h_u, lp["q"], dt)
+    kux = _lin(h_u, lp["k"], dt)
     vu = _lin(h_u, lp["v"], dt)
 
+    # scatter the und rows first, rotate once on the merged tensors
     qx = qx.at[und_idx].set(qux)
     kx = kx.at[und_idx].set(kux)
     v = v.at[und_idx].set(vu).reshape(s, kvh, hd).astype(dt)
+    qr = _rot_half(qx, nh, hd)
+    kr = _rot_half(kx, kvh, hd)
 
     gq = lp["q_norm_geo"] if cfg.qk_norm else None
     gk = lp["k_norm_geo"] if cfg.qk_norm else None
-    q = _norm_rope(qx[:, :nq], qx[:, nq:], gq, cos, sin, eps, nh, hd, dt)
-    k = _norm_rope(kx[:, :nk], kx[:, nk:], gk, cos, sin, eps, kvh, hd, dt)
+    q = _norm_rope(qx, qr, gq, cos, sin, eps, nh, hd, dt)
+    k = _norm_rope(kx, kr, gk, cos, sin, eps, kvh, hd, dt)
     if cfg.qk_norm:
         # re-do the few und rows with the und-expert gammas
         cu, su = cos[und_idx], sin[und_idx]
         q = q.at[und_idx].set(
-            _norm_rope(qux[:, :nq], qux[:, nq:], lp["q_norm"], cu, su, eps,
+            _norm_rope(qux, qr[und_idx], lp["q_norm"], cu, su, eps,
                        nh, hd, dt)
         )
         k = k.at[und_idx].set(
-            _norm_rope(kux[:, :nk], kux[:, nk:], lp["k_norm"], cu, su, eps,
+            _norm_rope(kux, kr[und_idx], lp["k_norm"], cu, su, eps,
                        kvh, hd, dt)
         )
     new_kv = LayerKV(k, v)
@@ -239,32 +254,23 @@ def _split_layer(
         return jnp.concatenate([f_u, f_g], axis=0)
 
     residual = x
-    nq, nk = nh * hd, kvh * hd
     x_u, x_g = x[:b], x[b:]
     h_u = rms_norm(x_u, lp["ln_attn"], eps)
     h_g = rms_norm(x_g, lp["ln_attn_geo"], eps)
-    qx = both(
-        _lin(h_u, _ext_rot_cols(lp["q"], nh, hd), dt),
-        _lin(h_g, _ext_rot_cols(lp["q_geo"], nh, hd), dt),
-    )
-    kx = both(
-        _lin(h_u, _ext_rot_cols(lp["k"], kvh, hd), dt),
-        _lin(h_g, _ext_rot_cols(lp["k_geo"], kvh, hd), dt),
-    )
+    qx = both(_lin(h_u, lp["q"], dt), _lin(h_g, lp["q_geo"], dt))
+    kx = both(_lin(h_u, lp["k"], dt), _lin(h_g, lp["k_geo"], dt))
     v = both(_lin(h_u, lp["v"], dt), _lin(h_g, lp["v_geo"], dt))
     v = v.reshape(s, kvh, hd).astype(dt)
 
     def nr(xq, g_u, g_g, nheads):
-        w = nheads * hd
+        xr = _rot_half(xq, nheads, hd)
         if not cfg.qk_norm:
-            return _norm_rope(
-                xq[:, :w], xq[:, w:], None, cos, sin, eps, nheads, hd, dt
-            )
+            return _norm_rope(xq, xr, None, cos, sin, eps, nheads, hd, dt)
         return jnp.concatenate(
             [
-                _norm_rope(xq[:b, :w], xq[:b, w:], g_u, cos[:b], sin[:b],
+                _norm_rope(xq[:b], xr[:b], g_u, cos[:b], sin[:b],
                            eps, nheads, hd, dt),
-                _norm_rope(xq[b:, :w], xq[b:, w:], g_g, cos[b:], sin[b:],
+                _norm_rope(xq[b:], xr[b:], g_g, cos[b:], sin[b:],
                            eps, nheads, hd, dt),
             ],
             axis=0,
@@ -351,21 +357,19 @@ def mot_layer_forward(
     eps = cfg.rms_norm_eps
     if has_expert_attn:
         qx = _expert_lin(
-            h_und, h_geo, _ext_rot_cols(lp["q"], nh, hd),
-            _ext_rot_cols(lp["q_geo"], nh, hd), is_geo, expert_mode, dt,
+            h_und, h_geo, lp["q"], lp["q_geo"], is_geo, expert_mode, dt,
         )
         kx = _expert_lin(
-            h_und, h_geo, _ext_rot_cols(lp["k"], kvh, hd),
-            _ext_rot_cols(lp["k_geo"], kvh, hd), is_geo, expert_mode, dt,
+            h_und, h_geo, lp["k"], lp["k_geo"], is_geo, expert_mode, dt,
         )
         v = _expert_lin(h_und, h_geo, lp["v"], lp["v_geo"], is_geo, expert_mode, dt)
     else:
-        qx = _lin(h_und, _ext_rot_cols(lp["q"], nh, hd), dt)
-        kx = _lin(h_und, _ext_rot_cols(lp["k"], kvh, hd), dt)
+        qx = _lin(h_und, lp["q"], dt)
+        kx = _lin(h_und, lp["k"], dt)
         v = _lin(h_und, lp["v"], dt)
 
     # Per-head RMS qk-norm (fp32, per expert — reference qwen2vl.py:600-606)
-    # fused with mRoPE via the folded rotation columns (_norm_rope).
+    # fused with mRoPE via the permutation-matmul rotation (_norm_rope).
     if not cfg.qk_norm:
         gq = gk = None
     elif not has_expert_attn or expert_mode == UND_ONLY:
@@ -376,9 +380,8 @@ def mot_layer_forward(
         gm = is_geo[:, None, None]
         gq = jnp.where(gm, lp["q_norm_geo"][None, None], lp["q_norm"][None, None])
         gk = jnp.where(gm, lp["k_norm_geo"][None, None], lp["k_norm"][None, None])
-    nq, nk = nh * hd, kvh * hd
-    q = _norm_rope(qx[:, :nq], qx[:, nq:], gq, cos, sin, eps, nh, hd, dt)
-    k = _norm_rope(kx[:, :nk], kx[:, nk:], gk, cos, sin, eps, kvh, hd, dt)
+    q = _norm_rope(qx, _rot_half(qx, nh, hd), gq, cos, sin, eps, nh, hd, dt)
+    k = _norm_rope(kx, _rot_half(kx, kvh, hd), gk, cos, sin, eps, kvh, hd, dt)
     v = v.reshape(s, kvh, hd).astype(dt)
     new_kv = LayerKV(k, v)
 

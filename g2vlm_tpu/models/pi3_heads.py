@@ -68,14 +68,17 @@ def _rope_fold_idx(num_heads: int, hd: int):
     return idx, sgn
 
 
-def _rot_cols(p, idx, sgn, col_off: int):
-    """Signed column-permuted copy of projection columns [col_off, +len(idx))
-    — multiplying x by these columns yields rotate_half_axial(x @ w)."""
-    w = p["w"][:, col_off + idx] * sgn[None, :]
-    out = {"w": w}
-    if "b" in p:
-        out["b"] = p["b"][col_off + idx] * sgn
-    return out
+def _rot_perm_matrix(num_heads: int, hd: int):
+    """(hd, hd) signed-permutation matrix P with t @ P == rotate_half_axial(t)
+    per head. Applying P as a tiny head-dim matmul costs ~15 GFLOP at the
+    production head shapes vs ~237 GFLOP for the r3 'folded projection
+    columns' trick (extra (d, 2d) GEMM columns), and is still shuffle-free:
+    the permutation rides the MXU. Output is bitwise identical to the folded
+    columns (P entries are exactly +-1; bf16 rounding is sign-symmetric)."""
+    idx, sgn = _rope_fold_idx(1, hd)
+    p = np.zeros((hd, hd), np.float32)
+    p[idx, np.arange(hd)] = sgn
+    return jnp.asarray(p)
 
 
 def _use_flash(b, s, m=None):
@@ -109,31 +112,27 @@ def _rope_mix(t, t_rot, cos, sin, dtype):
     return out.astype(dtype)
 
 
+def _rot(t, pmat, dtype):
+    """rotate_half_axial(t) via the signed-permutation matmul (MXU, no lane
+    shuffles)."""
+    return jnp.einsum("bshd,de->bshe", t, pmat.astype(dtype))
+
+
 def _self_attn(x, lp, cos, sin, num_heads, dtype, valid_kv=None):
     """Fused-QKV self attention with RoPE2D (reference FlashAttentionRope,
     attention.py:357-381; qk_norm is disabled in the Pi3 heads). Everything
-    stays in (B, S, H, D) layout, and the RoPE rotate-half is folded into
-    two extra column blocks of the qkv projection (see _rope_fold_idx) —
-    one (d, 5d) GEMM instead of lane-shuffle relayouts."""
+    stays in (B, S, H, D) layout, and the RoPE rotate-half runs as a tiny
+    signed-permutation matmul on the head dim (see _rot_perm_matrix) — no
+    lane-shuffle relayouts, ~16x fewer FLOPs than the folded-column GEMM."""
     b, s, d = x.shape
     hd = d // num_heads
-    idx, sgn = _rope_fold_idx(num_heads, hd)
-    wq_rot = _rot_cols(lp["qkv"], idx, sgn, 0)
-    wk_rot = _rot_cols(lp["qkv"], idx, sgn, d)
-    ext = {
-        "w": jnp.concatenate(
-            [lp["qkv"]["w"], wq_rot["w"], wk_rot["w"]], axis=1
-        ),
-        "b": jnp.concatenate([lp["qkv"]["b"], wq_rot["b"], wk_rot["b"]]),
-    }
-    qkv = _lin(x, ext, dtype)  # (b, s, 5d): [q | k | v | rot(q) | rot(k)]
+    pmat = _rot_perm_matrix(num_heads, hd)
+    qkv = _lin(x, lp["qkv"], dtype)  # (b, s, 3d)
     q = qkv[..., :d].reshape(b, s, num_heads, hd)
     k = qkv[..., d : 2 * d].reshape(b, s, num_heads, hd)
-    v = qkv[..., 2 * d : 3 * d].reshape(b, s, num_heads, hd)
-    q_rot = qkv[..., 3 * d : 4 * d].reshape(b, s, num_heads, hd)
-    k_rot = qkv[..., 4 * d :].reshape(b, s, num_heads, hd)
-    q = _rope_mix(q, q_rot, cos, sin, dtype)
-    k = _rope_mix(k, k_rot, cos, sin, dtype)
+    v = qkv[..., 2 * d :].reshape(b, s, num_heads, hd)
+    q = _rope_mix(q, _rot(q, pmat, dtype), cos, sin, dtype)
+    k = _rope_mix(k, _rot(k, pmat, dtype), cos, sin, dtype)
     out = _attend(q, k, v, valid_kv=valid_kv).reshape(b, s, d)
     return _lin(out, lp["proj"], dtype)
 
@@ -141,8 +140,8 @@ def _self_attn(x, lp, cos, sin, num_heads, dtype, valid_kv=None):
 def _cross_attn(x, y, lp, cos_q, sin_q, cos_k, sin_k, num_heads, dtype,
                 valid_kv=None):
     """Separate-projection cross attention with RoPE2D (reference
-    FlashCrossAttentionRope, attention.py:238-270). Rotations folded into
-    extra projection columns like _self_attn.
+    FlashCrossAttentionRope, attention.py:238-270). Rotations applied via
+    the signed-permutation matmul like _self_attn.
 
     y may carry batch 1 against x batch B (the global decoder's shared
     frame-0 context, reference Pi3ContextTransformerDecoder): K/V
@@ -151,24 +150,12 @@ def _cross_attn(x, y, lp, cos_q, sin_q, cos_k, sin_k, num_heads, dtype,
     b, s, d = x.shape
     by, m = y.shape[0], y.shape[1]
     hd = d // num_heads
-    idx, sgn = _rope_fold_idx(num_heads, hd)
-
-    def ext(p):
-        rot = _rot_cols(p, idx, sgn, 0)
-        e = {"w": jnp.concatenate([p["w"], rot["w"]], axis=1)}
-        if "b" in p:
-            e["b"] = jnp.concatenate([p["b"], rot["b"]])
-        return e
-
-    qq = _lin(x, ext(lp["q"]), dtype)
-    kk = _lin(y, ext(lp["k"]), dtype)
-    q = qq[..., :d].reshape(b, s, num_heads, hd)
-    q_rot = qq[..., d:].reshape(b, s, num_heads, hd)
-    k = kk[..., :d].reshape(by, m, num_heads, hd)
-    k_rot = kk[..., d:].reshape(by, m, num_heads, hd)
+    pmat = _rot_perm_matrix(num_heads, hd)
+    q = _lin(x, lp["q"], dtype).reshape(b, s, num_heads, hd)
+    k = _lin(y, lp["k"], dtype).reshape(by, m, num_heads, hd)
     v = _lin(y, lp["v"], dtype).reshape(by, m, num_heads, hd)
-    q = _rope_mix(q, q_rot, cos_q, sin_q, dtype)
-    k = _rope_mix(k, k_rot, cos_k, sin_k, dtype)
+    q = _rope_mix(q, _rot(q, pmat, dtype), cos_q, sin_q, dtype)
+    k = _rope_mix(k, _rot(k, pmat, dtype), cos_k, sin_k, dtype)
     if by == 1 and b > 1:
         k = jnp.broadcast_to(k, (b, m, num_heads, hd))
         v = jnp.broadcast_to(v, (b, m, num_heads, hd))
@@ -254,6 +241,91 @@ def decoder_forward(
     x, _ = jax.lax.scan(block, x, params["blocks"])
     out = _lin(x, params["linear_out"], dt)
     return out[:, :s_real]
+
+
+def _lin_k(x, p, dtype):
+    """Per-decoder GEMM: x (K, B, S, din) @ w (K, din, dout) — a K-batched
+    matmul (block-diagonal over the stacked decoders)."""
+    y = jnp.einsum(
+        "kbsd,kde->kbse", x.astype(dtype), p["w"].astype(dtype)
+    )
+    if "b" in p:
+        y = y + p["b"][:, None, None, :].astype(dtype)
+    return y
+
+
+def stacked_decoder_forward(
+    params_list,
+    hidden: jax.Array,  # (B*N, hw, D) shared input
+    positions: jax.Array,  # (B*N, hw, 2)
+    cfg: Pi3HeadConfig,
+    compute_dtype=jnp.float32,
+    remat: bool = False,
+):
+    """Run K architecturally-identical self-attention decoders (point /
+    camera / conf — reference g2vlm.py:162-226 instantiates them with the
+    same dim/heads/depth) over the SAME input as ONE fused scan: block
+    weights stacked on a leading K axis, views tiled to K*B inside
+    attention. Per block this issues one attention kernel and one
+    norm/residual chain instead of K of each — the r3 profile put the heads
+    ~2x over their dot roofline on exactly those per-op costs. Exact: the
+    decoders never mix (batched GEMMs are block-diagonal in K; attention is
+    per-view). Returns the K outputs (linear_out applied per decoder)."""
+    kd = len(params_list)
+    d = hidden.shape[-1]
+    hd = d // cfg.num_heads
+    eps = cfg.layer_norm_eps
+    dt = compute_dtype
+
+    s_real = hidden.shape[1]
+    s_pad = -(-s_real // 8) * 8
+    if s_pad != s_real:
+        hidden = jnp.pad(hidden, ((0, 0), (0, s_pad - s_real), (0, 0)))
+        positions = jnp.pad(positions, ((0, 0), (0, s_pad - s_real), (0, 0)))
+    valid_kv = s_real if s_pad != s_real else None
+    cos, sin = rope2d_cos_sin(positions, hd, cfg.rope_freq)
+    cos_t = jnp.tile(cos, (kd, 1, 1))
+    sin_t = jnp.tile(sin, (kd, 1, 1))
+
+    b, s, _ = hidden.shape
+    x = jnp.broadcast_to(hidden.astype(dt), (kd, b, s, d))
+    blocks = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[p["blocks"] for p in params_list]
+    )  # leaves: (K, L, ...) — scan runs over L
+    blocks = jax.tree.map(lambda t: jnp.swapaxes(t, 0, 1), blocks)
+    pmat = _rot_perm_matrix(cfg.num_heads, hd)
+
+    def norm_k(x, lp):
+        return layer_norm(
+            x, lp["w"][:, None, None, :], lp["b"][:, None, None, :], eps
+        )
+
+    def attn_k(h, lp):
+        qkv = _lin_k(h, lp["qkv"], dt)
+        q = qkv[..., :d].reshape(kd * b, s, cfg.num_heads, hd)
+        k = qkv[..., d : 2 * d].reshape(kd * b, s, cfg.num_heads, hd)
+        v = qkv[..., 2 * d :].reshape(kd * b, s, cfg.num_heads, hd)
+        q = _rope_mix(q, _rot(q, pmat, dt), cos_t, sin_t, dt)
+        k = _rope_mix(k, _rot(k, pmat, dt), cos_t, sin_t, dt)
+        out = _attend(q, k, v, valid_kv=valid_kv).reshape(kd, b, s, d)
+        return _lin_k(out, lp["proj"], dt)
+
+    def block(x, lp):
+        h = norm_k(x, lp["norm1"])
+        x = x + attn_k(h, lp["attn"])
+        h = norm_k(x, lp["norm2"])
+        h = _lin_k(h, lp["mlp"]["fc1"], dt)
+        h = jax.nn.gelu(h, approximate=False)
+        x = x + _lin_k(h, lp["mlp"]["fc2"], dt)
+        return x, None
+
+    if remat:
+        block = jax.checkpoint(block, prevent_cse=False)
+    x, _ = jax.lax.scan(block, x, blocks)
+    return [
+        _lin(x[i], p["linear_out"], dt)[:, :s_real]
+        for i, p in enumerate(params_list)
+    ]
 
 
 def linear_pts3d(params: Dict, tokens: jax.Array, img_hw, patch_size: int) -> jax.Array:

@@ -493,12 +493,12 @@ def _flash_bwd_dkv_kernel(
 
 def _flash_kernel_int8(
     codes_ref,  # (n_q, n_kv) int32 SMEM (scalar prefetch)
-    alphas_ref,  # (H,) fp32 SMEM (scalar prefetch): per-q-head dequant
-                 # scale folded with softmax scale * log2(e)
-    q_ref,  # (G, BQ, D) int8 — per-head symmetric quantization
+    q_ref,  # (G, BQ, D) int8 — per-token symmetric quantization
     k_ref,  # (1, BK, D) int8 — per-token symmetric quantization
     v_ref,  # (1, BK, D) bf16
     ks_ref,  # (1, 1, BK) fp32 per-token k dequant scales
+    qs_ref,  # (1, 1, G*BQ, 1) fp32 per-token q dequant scales
+             # (pre-folded with softmax scale * log2(e))
     qm_ref, km_ref,
     o_ref,
     l_scr, acc_scr,
@@ -510,14 +510,15 @@ def _flash_kernel_int8(
     at the 25k-token prefill, scripts/micro_segment_dissect.py). Scores
     dequantize with one row-broadcast and one column-broadcast multiply
     fused into the exp2 pass; shiftless static-max softmax as in
-    _flash_kernel. PV stays bf16. Quantization noise is bf16-comparable
-    with per-head q / per-token k scales (parity gate:
-    scripts/parity_tpu_bf16.py)."""
+    _flash_kernel. PV stays bf16. Both q and k use per-token symmetric
+    scales (finest granularity the dequant-after-GEMM trick allows); the
+    quantizer optionally pre-rotates the head dim with a Hadamard matrix
+    (exact: (qH)(kH)^T == qk^T) to spread outliers before rounding
+    (parity gate: scripts/parity_tpu_bf16.py, scripts/ab_int8.py)."""
     i = pl.program_id(1)
     j = pl.program_id(2)
     code = codes_ref[i, j]
     g, bq, d = q_ref.shape
-    hh = pl.program_id(0)
 
     @pl.when(j == 0)
     def _():
@@ -531,13 +532,7 @@ def _flash_kernel_int8(
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
         )  # (G*BQ, BK)
-        # per-q-head dequant column (G*BQ, 1) from SMEM scalars
-        acol = jnp.concatenate(
-            [jnp.full((bq, 1), alphas_ref[hh * g + hl], jnp.float32)
-             for hl in range(g)],
-            axis=0,
-        )
-        s = s32.astype(jnp.float32) * acol * ks_ref[0]
+        s = s32.astype(jnp.float32) * qs_ref[0, 0] * ks_ref[0]
         p = jnp.exp2(jnp.minimum(s, _SAT))
         if mask is not None:
             p = jnp.where(mask, p, 0.0)
@@ -564,9 +559,31 @@ def _flash_kernel_int8(
         o_ref[...] = out.reshape(g, bq, d).astype(o_ref.dtype)
 
 
+def _hadamard(d: int) -> np.ndarray:
+    """Normalized Sylvester-Hadamard matrix (d a power of two)."""
+    h = np.array([[1.0]], np.float32)
+    while h.shape[0] < d:
+        h = np.block([[h, h], [h, -h]])
+    return h * (d ** -0.5)
+
+
+def _int8_use_hadamard() -> bool:
+    import os
+
+    return os.environ.get("G2VLM_ATTN_INT8_HAD", "1") == "1"
+
+
 def _flash_int8(qp, kp, vp, qm, km, scale, block_q, block_kv, interpret):
     """Quantize + launch the int8-QK forward. NOT differentiable by design
-    (jnp.round on the int8 path has no VJP): training must use _flash."""
+    (jnp.round on the int8 path has no VJP): training must use _flash.
+
+    Quantization: per-token symmetric scales for BOTH q and k (the r3
+    per-head q scale let one outlier token inflate the rounding step for a
+    whole head). When the head dim is a power of two, q/k are first rotated
+    by a normalized Hadamard matrix — exact in real arithmetic since
+    (qH)(kH)^T = qk^T, and it spreads per-channel outliers across the head
+    dim so the per-token max (and hence the rounding step) shrinks
+    (QuaRot/SageAttention-style; G2VLM_ATTN_INT8_HAD=0 opts out)."""
     h, sq_p, d = qp.shape
     kvh, skv_p, _ = kp.shape
     g = h // kvh
@@ -575,17 +592,27 @@ def _flash_int8(qp, kp, vp, qm, km, scale, block_q, block_kv, interpret):
     codes = _block_codes(qm, km, block_q, block_kv)
 
     qf = qp.astype(jnp.float32)
-    qscale = jnp.maximum(
-        jnp.max(jnp.abs(qf), axis=(1, 2)), 1e-6
-    ) / 127.0  # (H,)
-    q8 = jnp.round(qf / qscale[:, None, None]).astype(jnp.int8)
-    alphas = (qscale * (scale * _LOG2E)).astype(jnp.float32)
     kf = kp.astype(jnp.float32)
+    if d & (d - 1) == 0 and _int8_use_hadamard():
+        had = jnp.asarray(_hadamard(d))
+        qf = qf @ had
+        kf = kf @ had
+    qscale = jnp.maximum(jnp.max(jnp.abs(qf), axis=2), 1e-6) / 127.0  # (H,Sq)
+    q8 = jnp.round(qf / qscale[..., None]).astype(jnp.int8)
+    # kernel-facing layout: the (g, block_q) scale tile of grid step (hh, i)
+    # as a ready-made (g*block_q, 1) column
+    qs_col = (
+        (qscale * (scale * _LOG2E))
+        .reshape(kvh, g, n_q, block_q)
+        .transpose(0, 2, 1, 3)
+        .reshape(kvh, n_q, g * block_q, 1)
+        .astype(jnp.float32)
+    )
     kscale = jnp.maximum(jnp.max(jnp.abs(kf), axis=2), 1e-6) / 127.0
     k8 = jnp.round(kf / kscale[..., None]).astype(jnp.int8)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(kvh, n_q, n_kv),
         in_specs=[
             _q_spec(block_q, d, g),
@@ -595,6 +622,10 @@ def _flash_int8(qp, kp, vp, qm, km, scale, block_q, block_kv, interpret):
                 # (KVH, 1, Skv) with a middle singleton: Mosaic requires the
                 # sublane block dim to divide 8 or equal the array dim
                 (1, 1, block_kv), lambda hh, i, j, *_: (hh, 0, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, g * block_q, 1), lambda hh, i, j, *_: (hh, i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             *_meta_specs(block_q, block_kv),
@@ -611,7 +642,7 @@ def _flash_int8(qp, kp, vp, qm, km, scale, block_q, block_kv, interpret):
         grid_spec=grid_spec,
         compiler_params=_SEMANTICS,
         interpret=interpret,
-    )(codes, alphas, q8, k8, vp, kscale[:, None].astype(jnp.float32), qm, km)
+    )(codes, q8, k8, vp, kscale[:, None].astype(jnp.float32), qs_col, qm, km)
 
 
 def _pack_meta(info: TokenInfo) -> jax.Array:

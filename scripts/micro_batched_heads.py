@@ -215,6 +215,30 @@ def main():
         timeit(f"lane-clean kv896 d128 hb={hb} (incl pad)",
                jax.jit(ft.partial(fused2, hb=hb)), q, k, v)
 
+    # B-scaling: does the batched-flash time grow with B, or is it a
+    # per-call wall? (decides whether stacking the three head decoders into
+    # one B=96 call amortizes the ~5 ms attention cost)
+    for bb in (32, 64, 96):
+        kq2, kk2, kv2 = jax.random.split(jax.random.PRNGKey(bb), 3)
+        qb = jax.random.normal(kq2, (bb, S, H, D), jnp.bfloat16)
+        kb = jax.random.normal(kk2, (bb, S, H, D), jnp.bfloat16)
+        vb = jax.random.normal(kv2, (bb, S, H, D), jnp.bfloat16)
+        qb, kb, vb = jax.device_put((qb, kb, vb))
+        jax.block_until_ready((qb, kb, vb))
+        out = jax.jit(flash_batched_attention)(qb, kb, vb)
+        _sync(out)
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(10):
+                out = jax.jit(flash_batched_attention)(qb, kb, vb)
+            _sync(out)
+            ts.append((time.perf_counter() - t0) / 10)
+        ms = min(ts) * 1e3
+        fl = 2 * 2 * bb * H * S * S * D
+        print(f"{'flash_batched B=%d' % bb:44s} {ms:8.2f} ms  "
+              f"{fl/ms/1e9:6.1f} TF/s", flush=True)
+
     # numeric check of the lane-clean variant vs dense reference
     ref = dense_attention(
         q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32)

@@ -374,15 +374,24 @@ def test_pipelined_kernel_matches_plain(rng, monkeypatch):
             split_lens=[40, 60, 56, 100],
             modes=["causal", "full", "causal", "full"],
         ),
+        dict(S=256, sample_lens=[256], split_lens=[256], modes=["causal"],
+             outliers=True),
     ],
 )
 def test_int8_qk_matches_dense(rng, case):
-    """Inference int8 QK^T path (per-head q / per-token k scales): mask
-    semantics identical to the fp kernel, output within quantization noise
-    of the dense reference (served-path budget is 3e-2 rel)."""
+    """Inference int8 QK^T path (per-token q/k scales + Hadamard
+    pre-rotation): mask semantics identical to the fp kernel, output within
+    quantization noise of the dense reference (served-path budget is 3e-2
+    rel). The outlier case (amplified channels + tokens, the regime that
+    broke the r3 per-head-q quantizer) must also stay inside 2e-2."""
     S, H, KVH, D = case["S"], 4, 2, 128
     q = rng.standard_normal((S, H, D)).astype(np.float32) * 0.3
     k = rng.standard_normal((S, KVH, D)).astype(np.float32) * 0.3
+    if case.get("outliers"):
+        q[..., :4] *= 8
+        k[..., :4] *= 8
+        q[::37] *= 5
+        k[::53] *= 5
     v = rng.standard_normal((S, KVH, D)).astype(np.float32)
     info = make_token_info_np(case["sample_lens"], case["split_lens"], case["modes"])
 

@@ -179,6 +179,21 @@ def test_recon_from_frames_matches_views(pipe, rng):
     )
 
 
+def test_recon_chunked_upload_matches_fused(pipe, rng, monkeypatch):
+    """Chunked-upload serving path (per-chunk dino-encode programs feeding a
+    dino_emb-taking main program) == the single fused program."""
+    frames = rng.integers(0, 256, (8, 56, 56, 3), dtype=np.uint8)
+    monkeypatch.setenv("G2VLM_UPLOAD_CHUNKS", "1")
+    out_fused = pipe.recon_from_frames(frames, new_width=56)
+    monkeypatch.setenv("G2VLM_UPLOAD_CHUNKS", "4")
+    out_chunked = pipe.recon_from_frames(frames, new_width=56)
+    for k in ("points", "local_points", "camera_poses"):
+        np.testing.assert_allclose(
+            np.asarray(out_chunked[k]), np.asarray(out_fused[k]),
+            atol=2e-5, rtol=2e-5,
+        )
+
+
 def test_generate_batched_matches_single(pipe):
     """Batched serving decode == B independent single-sequence decodes."""
     import jax
