@@ -166,6 +166,7 @@ def encode(
     cfg: DinoConfig,
     compute_dtype=jnp.float32,
     remat: bool = False,
+    remat_group: int = 1,
 ) -> jax.Array:
     """Full encoder; returns patch tokens only (B, hp*wp, D), CLS+registers
     stripped (reference dinov2_model.py:354)."""
@@ -222,6 +223,28 @@ def encode(
         # attention/MLP intermediates (24 layers x 40 views of fp32 score
         # chunks otherwise dominate HBM at full train scale)
         layer = jax.checkpoint(layer, prevent_cse=False)
-    x, _ = jax.lax.scan(layer, x, params["layers"])
+    if remat and remat_group > 1:
+        # sqrt-remat over layer groups (same scheme as the MoT scan,
+        # mot_decoder.decoder_forward): the scan bwd saves one (B, S, D)
+        # carry per GROUP instead of per layer — 24 x 25.7MB -> ~10 x at
+        # group 4 for a 16-view 518x294 batch — at one extra fwd recompute
+        # of each group during bwd.
+        n_layers = jax.tree.leaves(params["layers"])[0].shape[0]
+        assert n_layers % remat_group == 0, (n_layers, remat_group)
+        glayers = jax.tree.map(
+            lambda a: a.reshape(
+                n_layers // remat_group, remat_group, *a.shape[1:]
+            ),
+            params["layers"],
+        )
+
+        def gstep(c, glp):
+            h2, _ = jax.lax.scan(layer, c, glp)
+            return h2, None
+
+        gstep = jax.checkpoint(gstep, prevent_cse=False)
+        x, _ = jax.lax.scan(gstep, x, glayers)
+    else:
+        x, _ = jax.lax.scan(layer, x, params["layers"])
     x = layer_norm(x, params["final_norm"]["w"], params["final_norm"]["b"], eps)
     return x[:, 1 + cfg.num_register_tokens : s_real]

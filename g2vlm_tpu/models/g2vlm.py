@@ -310,6 +310,7 @@ class SequenceBuilder:
 def encode_dino_to_llm(
     params: Dict, dino_images: jax.Array, cfg: G2VLMConfig, compute_dtype,
     remat: bool = False,
+    remat_group: int = 1,
 ) -> jax.Array:
     """Geometry-encoder encode + dino2llm projection (reference
     g2vlm.py:968-1010; DINOv3 alternative selected via use_dinov3,
@@ -324,7 +325,8 @@ def encode_dino_to_llm(
         )
     else:
         tokens = dinov2.encode(
-            params["dino"], dino_images, cfg.dino, compute_dtype, remat=remat
+            params["dino"], dino_images, cfg.dino, compute_dtype, remat=remat,
+            remat_group=remat_group,
         )
     n, hw, _ = tokens.shape
     proj = tokens.reshape(n * hw, -1).astype(compute_dtype) @ params["dino2llm"][

@@ -78,6 +78,7 @@ def train_forward(
     sp=None,
     head_view_chunk: int = 0,
     remat_group: int = 1,
+    dino_remat_group: int = 1,
 ) -> Tuple[jax.Array, Dict]:
     """One packed sample -> scalar loss + details.
 
@@ -95,7 +96,8 @@ def train_forward(
     p = cfg.dino_patch_size
     hw = (h // p) * (w // p)
     dino_emb = jg.encode_dino_to_llm(
-        params, batch.dino_images, cfg, compute_dtype, remat=remat
+        params, batch.dino_images, cfg, compute_dtype, remat=remat,
+        remat_group=dino_remat_group,
     )
     seq = seq.at[batch.dino_indexes].set(dino_emb)
 
@@ -296,6 +298,7 @@ def make_train_step(
     sp=None,
     head_view_chunk: int = 0,
     remat_group: int = 1,
+    dino_remat_group: int = 1,
 ):
     """Returns train_step(state, batch) -> (state, metrics). `batch` carries a
     leading dp-batch axis; the loss is the mean over it. Pass geo_start (a
@@ -313,6 +316,7 @@ def make_train_step(
                 attn_impl=attn_impl, remat=remat, geo_start=geo_start,
                 sp=sp, head_view_chunk=head_view_chunk,
                 remat_group=remat_group,
+                dino_remat_group=dino_remat_group,
             )
 
         if sp is not None:

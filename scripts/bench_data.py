@@ -30,10 +30,105 @@ def rate(name, fn, seconds, unit):
     print(f"{name:34s} {n / dt:10.1f} {unit}/s", flush=True)
 
 
+RESNET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+RESNET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def _e2e_make_iter(wid: int):
+    """Production-shape producer: 8-view recon samples at 294x518 -> one
+    9216-token pack. Per view, the real host work the dataset does after
+    jpeg decode: bicubic resize from a 480x640 'decoded frame' + RESNET
+    normalize (recon_dataset.py crop/resize path), then SequencePacker
+    add_sample/to_batch. Module-level so ProcessPrefetchLoader can pickle it."""
+    from PIL import Image
+
+    from g2vlm_tpu.data.packing import PackerConfig, SequencePacker
+
+    ids = dict(
+        bos_token_id=7, eos_token_id=8, start_of_image=11, end_of_image=12
+    )
+    h, w = 294, 518
+    hp, wp = h // 14, w // 14
+    per_view = hp * wp + 2
+    pcfg = PackerConfig(
+        expected_num_tokens=9216,
+        max_num_tokens_per_sample=8 * per_view + 64,
+        max_num_tokens=10240,
+        max_ce_slots=64,
+        dino_patch_size=14,
+    )
+    rng = np.random.default_rng(1000 + wid)
+    frame = (rng.random((480, 640, 3)) * 255).astype(np.uint8)
+    i = 0
+    while True:
+        packer = SequencePacker(pcfg, ids)
+        toks = 0
+        while packer.curr + 8 * per_view + 8 < pcfg.expected_num_tokens:
+            views = []
+            for _ in range(8):
+                img = Image.fromarray(frame).resize(
+                    (w, h), Image.Resampling.BICUBIC
+                )
+                arr = np.asarray(img, np.float32) / 255.0
+                arr = (arr - RESNET_MEAN) / RESNET_STD
+                views.append(
+                    dict(
+                        image=arr,
+                        world_points=np.zeros((h, w, 3), np.float32),
+                        point_masks=np.ones((h, w), bool),
+                        extrinsics=np.eye(4, dtype=np.float32),
+                    )
+                )
+            s = dict(
+                plan=[{"type": "text"}, *[{"type": "dino_image"}] * 8],
+                text_ids_list=[[5, 6, 9]],
+                dino_views=views,
+                num_tokens=3 + 8 * per_view,
+            )
+            packer.add_sample(s, pyrandom.Random(i))
+            toks += s["num_tokens"]
+            i += 1
+        batch = packer.to_batch(pyrandom.Random(0))
+        yield toks, batch
+
+
+def bench_e2e(workers: int, seconds: float):
+    """Aggregate packed-token throughput through ProcessPrefetchLoader — the
+    number that must exceed the chips' training consumption (measured 4.1k
+    tok/s/chip at the recon stage => a v5e-8 host needs ~33k tok/s
+    aggregate). Producers are PROCESSES: the pure-Python packing stage does
+    not scale in threads (GIL)."""
+    from g2vlm_tpu.train.dataloader import ProcessPrefetchLoader
+
+    loader = ProcessPrefetchLoader(_e2e_make_iter, num_workers=workers,
+                                   prefetch=2 * workers)
+    it = iter(loader)
+    next(it)  # warm: process spawn + first pack
+    n = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < seconds:
+        toks, _ = next(it)
+        n += toks
+    dt = time.perf_counter() - t0
+    loader.close()
+    print(f"e2e pack pipeline ({workers:2d} proc)     {n / dt:10.1f} tok/s",
+          flush=True)
+    return n / dt
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seconds", type=float, default=5.0)
+    ap.add_argument("--workers", type=int, nargs="*", default=None,
+                    help="e2e multi-process pipeline bench: aggregate "
+                         "packed tok/s for each worker count (e.g. "
+                         "--workers 1 2 4 8)")
     args = ap.parse_args()
+
+    if args.workers:
+        for n in args.workers:
+            bench_e2e(n, args.seconds)
+        return
 
     from g2vlm_tpu.data.packing import PackerConfig, SequencePacker
     from g2vlm_tpu.data.corruption import motion_blur, shuffle_patch
@@ -123,7 +218,16 @@ def main():
         preprocess_vit_image(img_arr)
         return 1
 
-    rate("vit preprocess (480x640)", vit_one, args.seconds, "img")
+    rate("vit preprocess PIL (480x640)", vit_one, args.seconds, "img")
+
+    # --- csrc fused vit preprocess (training path; G2VLM_NATIVE_VIT) ---
+    from g2vlm_tpu.data.vit_preprocess import preprocess_vit_image_fast
+
+    def vit_fast_one():
+        preprocess_vit_image_fast(img_arr)
+        return 1
+
+    rate("vit preprocess csrc (480x640)", vit_fast_one, args.seconds, "img")
 
     # --- frame sampling: extrinsic-distance ranking over a 512-frame clip ---
     exts = np.tile(np.eye(4, dtype=np.float32), (512, 1, 1))

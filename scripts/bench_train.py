@@ -36,6 +36,13 @@ def main():
     ap.add_argument("--remat_group", type=int, default=1,
                     help="checkpoint every N layers in the MoT scan "
                          "(sqrt-remat: /N carry memory, +~fwd/4 recompute)")
+    ap.add_argument("--dino_remat_group", type=int, default=1,
+                    help="same sqrt-remat for the 24-layer dino scan "
+                         "(must divide 24)")
+    ap.add_argument("--mu_dtype", type=str, default=None,
+                    choices=[None, "bfloat16"],
+                    help="AdamW first moment dtype for the opt/EMA slice "
+                         "timing (train.py --mu_dtype production option)")
     ap.add_argument("--head_view_chunk", type=int, default=8,
                     help="Pi3-head view chunk (lax.map) bounding the head "
                          "backward arena; 0 = all views at once")
@@ -166,6 +173,7 @@ def main():
             p, batch, cfg, compute_dtype=jnp.bfloat16, attn_impl="auto",
             remat=True, geo_start=geo_start,
             remat_group=args.remat_group,
+            dino_remat_group=args.dino_remat_group,
             head_view_chunk=(args.head_view_chunk
                              if args.views % max(args.head_view_chunk, 1) == 0
                              else 0),
@@ -282,7 +290,8 @@ def main():
     if args.freeze_und or args.freeze_recon:
         del train_list, frozen_list, flat_p
     slice_n = sum(x.size for x in jax.tree.leaves(slice_tree))
-    opt = optax.adamw(1e-4, b1=0.9, b2=0.95, weight_decay=0.05)
+    opt = optax.adamw(1e-4, b1=0.9, b2=0.95, weight_decay=0.05,
+                      mu_dtype=jnp.bfloat16 if args.mu_dtype else None)
     opt_state = jax.jit(opt.init)(slice_tree)
 
     @jax.jit

@@ -72,3 +72,28 @@ def test_dinov2_encoder_parity(rng, hw):
     got = dinov2.encode(params, jnp.asarray(imgs), cfg)
     assert got.shape == ref.shape
     np.testing.assert_allclose(np.asarray(got), ref, atol=5e-5, rtol=1e-4)
+
+
+def test_dinov2_grouped_remat_equivalence(rng):
+    """Grouped sqrt-remat is a scheduling change only: values and grads match
+    the plain remat path exactly."""
+    cfg = DinoConfig(
+        hidden_size=32,
+        num_hidden_layers=4,
+        num_attention_heads=4,
+        image_size=56,
+        patch_size=14,
+        num_register_tokens=4,
+    )
+    params = dinov2.init_params(cfg, jax.random.PRNGKey(0))
+    imgs = jnp.asarray(rng.standard_normal((2, 3, 56, 56)), jnp.float32)
+
+    def loss(p, g):
+        out = dinov2.encode(p, imgs, cfg, remat=True, remat_group=g)
+        return jnp.sum(out**2)
+
+    v1, g1 = jax.value_and_grad(lambda p: loss(p, 1))(params)
+    v2, g2 = jax.value_and_grad(lambda p: loss(p, 2))(params)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)

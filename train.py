@@ -76,6 +76,9 @@ def parse_args():
                     help="checkpoint every N layers of the MoT scan "
                          "(sqrt-remat: /N activation carry, ~+fwd/4 "
                          "recompute; N must divide the layer count)")
+    ap.add_argument("--dino_remat_group", type=int, default=1,
+                    help="same sqrt-remat for the dino encoder scan "
+                         "(N must divide its 24 layers)")
     ap.add_argument("--head_view_chunk", type=int, default=0,
                     help="run Pi3 head decoders over view chunks of this "
                          "size (lax.map) to bound the backward arena; the "
@@ -314,6 +317,7 @@ def main():
                 sp=sp,
                 head_view_chunk=args.head_view_chunk,
                 remat_group=args.remat_group,
+                dino_remat_group=args.dino_remat_group,
             )
         )
 
