@@ -238,6 +238,124 @@ def freeze_labels(params: Dict, freeze_und: bool, freeze_recon: bool) -> Dict:
     return jax.tree_util.tree_map_with_path(label, params)
 
 
+class FactoredAdamState(NamedTuple):
+    count: jax.Array
+    mu: Any
+    nu_row: Any  # EMA of mean(g^2) over the last dim; None leaf if unfactored
+    nu_col: Any  # EMA of mean(g^2) over dim -2; None leaf if unfactored
+    nu_full: Any  # full fp32 nu for leaves too small/low-rank to factor
+
+
+def scale_by_factored_adam(
+    b1=0.9,
+    b2=0.95,
+    eps=1e-8,
+    mu_dtype=None,
+    min_dim_size_to_factor=128,
+):
+    """Adam with Adafactor-style factored second moments (Shazeer & Stern,
+    arXiv:1804.04235 §3): for leaves whose trailing two dims are both >=
+    min_dim_size_to_factor, nu is stored as row/col means over the LAST TWO
+    axes (leading axes — e.g. the (28, ...) stacked-layer axis of the MoT
+    scan params — are kept), reconstructed as
+        v_hat[..., i, j] = r[..., i] * c[..., j] / mean_i(r[..., i]).
+    Everything else (step-size schedule, b1/b2 EMAs, bias correction, eps)
+    is EXACTLY Adam — when g^2 is rank-1 the update is bit-for-bit Adam's
+    (tests/test_trainer_opt.py). Memory: nu drops from 4 bytes/param to
+    ~4*(d1+d2)/(d1*d2) — ~8.4 GB -> ~17 MB for the 2.1B-trainable recon
+    stage; with mu_dtype=bfloat16 the whole optimizer state is ~2.06
+    bytes/param. The reference's memory lever at this stage is CPU
+    optimizer offload (train/fsdp_utils.py:107-131) — impossible through a
+    tunneled chip and a host round-trip per step on TPU; factoring keeps
+    the state on-chip instead."""
+
+    def factorable(p):
+        return (
+            p.ndim >= 2
+            and p.shape[-1] >= min_dim_size_to_factor
+            and p.shape[-2] >= min_dim_size_to_factor
+        )
+
+    def init_fn(params):
+        mu = jax.tree.map(
+            lambda p: jnp.zeros_like(p, dtype=mu_dtype or p.dtype), params
+        )
+        nu_row = jax.tree.map(
+            lambda p: jnp.zeros(p.shape[:-1], jnp.float32)
+            if factorable(p) else None,
+            params,
+        )
+        nu_col = jax.tree.map(
+            lambda p: jnp.zeros(p.shape[:-2] + p.shape[-1:], jnp.float32)
+            if factorable(p) else None,
+            params,
+        )
+        nu_full = jax.tree.map(
+            lambda p: None if factorable(p)
+            else jnp.zeros_like(p, dtype=jnp.float32),
+            params,
+        )
+        return FactoredAdamState(
+            jnp.zeros((), jnp.int32), mu, nu_row, nu_col, nu_full
+        )
+
+    def update_fn(grads, state, params=None):
+        del params
+        count = state.count + 1
+        bc1 = 1.0 - b1 ** count.astype(jnp.float32)
+        bc2 = 1.0 - b2 ** count.astype(jnp.float32)
+
+        def upd_mu(m, g):
+            return (b1 * m.astype(jnp.float32)
+                    + (1.0 - b1) * g.astype(jnp.float32)).astype(m.dtype)
+
+        mu = jax.tree.map(upd_mu, state.mu, grads)
+
+        def upd_row(r, g):
+            if r is None:
+                return None
+            g2 = jnp.square(g.astype(jnp.float32))
+            return b2 * r + (1.0 - b2) * jnp.mean(g2, axis=-1)
+
+        def upd_col(c, g):
+            if c is None:
+                return None
+            g2 = jnp.square(g.astype(jnp.float32))
+            return b2 * c + (1.0 - b2) * jnp.mean(g2, axis=-2)
+
+        def upd_full(v, g):
+            if v is None:
+                return None
+            g2 = jnp.square(g.astype(jnp.float32))
+            return b2 * v + (1.0 - b2) * g2
+
+        is_none = lambda x: x is None
+        nu_row = jax.tree.map(upd_row, state.nu_row, grads, is_leaf=is_none)
+        nu_col = jax.tree.map(upd_col, state.nu_col, grads, is_leaf=is_none)
+        nu_full = jax.tree.map(upd_full, state.nu_full, grads, is_leaf=is_none)
+
+        def step(g, m, r, c, v):
+            m_hat = m.astype(jnp.float32) / bc1
+            if v is not None:
+                v_hat = v / bc2
+            else:
+                # r carries dim -2, c carries dim -1; mean over r's last
+                # axis normalizes the shared total so r*c has g^2's scale
+                denom = jnp.mean(r, axis=-1, keepdims=True)
+                v_hat = (
+                    r[..., :, None] * c[..., None, :]
+                    / jnp.maximum(denom[..., None], 1e-30)
+                ) / bc2
+            return (m_hat / (jnp.sqrt(v_hat) + eps)).astype(g.dtype)
+
+        updates = jax.tree.map(
+            step, grads, mu, nu_row, nu_col, nu_full, is_leaf=is_none
+        )
+        return updates, FactoredAdamState(count, mu, nu_row, nu_col, nu_full)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(
     learning_rate=1e-4,
     weight_decay=0.05,
@@ -249,6 +367,7 @@ def make_optimizer(
     freeze_recon: bool = False,
     params: Optional[Dict] = None,
     mu_dtype=None,
+    factored_v: bool = False,
 ):
     """mu_dtype=bfloat16 stores AdamW's first moment in bf16 — 2 bytes/param
     off the optimizer state (~4.2 GB at the 2.1B-trainable recon stage, vs
@@ -259,12 +378,20 @@ def make_optimizer(
     a non-starter through a tunneled chip; moment compression is the
     TPU-native form."""
     lr = schedule if schedule is not None else learning_rate
-    opt = optax.chain(
-        optax.clip_by_global_norm(grad_clip),
-        optax.adamw(
-            lr, b1=b1, b2=b2, weight_decay=weight_decay, mu_dtype=mu_dtype
-        ),
-    )
+    if factored_v:
+        opt = optax.chain(
+            optax.clip_by_global_norm(grad_clip),
+            scale_by_factored_adam(b1=b1, b2=b2, mu_dtype=mu_dtype),
+            optax.add_decayed_weights(weight_decay),
+            optax.scale_by_learning_rate(lr),
+        )
+    else:
+        opt = optax.chain(
+            optax.clip_by_global_norm(grad_clip),
+            optax.adamw(
+                lr, b1=b1, b2=b2, weight_decay=weight_decay, mu_dtype=mu_dtype
+            ),
+        )
     need_mask = freeze_und or freeze_recon or (
         params is not None and "segformer" in params
     )

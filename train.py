@@ -36,6 +36,13 @@ def parse_args():
                     help="AdamW first-moment storage dtype; bfloat16 saves "
                          "2 bytes/trainable param of optimizer state "
                          "(~4.2 GB at the 2.1B recon stage)")
+    ap.add_argument("--factored_v", action="store_true",
+                    help="Adafactor-style factored second moments (exact "
+                         "Adam otherwise): nu drops from 4 bytes/param to "
+                         "~0 — with --mu_dtype bfloat16 the optimizer "
+                         "state is ~2 bytes/trainable param, which is what "
+                         "fits the single-chip recon stage (the reference's "
+                         "lever here is CPU offload, fsdp_utils.py:107-131)")
     ap.add_argument("--ckpt_every", type=int, default=500)
     ap.add_argument("--keep_ckpts", type=int, default=2)
     ap.add_argument("--log_every", type=int, default=10)
@@ -287,6 +294,7 @@ def main():
         freeze_und=args.freeze_und, freeze_recon=args.freeze_recon,
         params=params,
         mu_dtype=jnp.bfloat16 if args.mu_dtype == "bfloat16" else None,
+        factored_v=args.factored_v,
     )
     state = trainer.init_train_state(params, optimizer, ema=True)
     mgr = CheckpointManager(args.checkpoint_dir, keep=args.keep_ckpts)
