@@ -260,8 +260,13 @@ def scale_by_factored_adam(
     scan params — are kept), reconstructed as
         v_hat[..., i, j] = r[..., i] * c[..., j] / mean_i(r[..., i]).
     Everything else (step-size schedule, b1/b2 EMAs, bias correction, eps)
-    is EXACTLY Adam — when g^2 is rank-1 the update is bit-for-bit Adam's
-    (tests/test_trainer_opt.py). Memory: nu drops from 4 bytes/param to
+    follows Adam, but the second moment is an Adafactor-style APPROXIMATION:
+    it equals Adam's only while the nu EMA itself stays rank-1 — i.e. at
+    step 1, or when every step's g^2 shares the same row/col profile (an
+    EMA of *different* rank-1 matrices is not rank-1). For general
+    gradients the update direction approximates Adam's per-coordinate
+    scaling (tests/test_trainer_opt.py checks both the exact regimes and
+    convergence under general grads). Memory: nu drops from 4 bytes/param to
     ~4*(d1+d2)/(d1*d2) — ~8.4 GB -> ~17 MB for the 2.1B-trainable recon
     stage; with mu_dtype=bfloat16 the whole optimizer state is ~2.06
     bytes/param. The reference's memory lever at this stage is CPU

@@ -62,6 +62,44 @@ def test_checkpoint_restore_resharded(tmp_path):
     mgr.close()
 
 
+def test_checkpoint_roundtrip_factored_adam(tmp_path):
+    """FactoredAdamState carries None leaves (nu_row/nu_col/nu_full are
+    mutually exclusive per param leaf) inside a NamedTuple — a pytree shape
+    the Orbax StandardSave path must round-trip faithfully."""
+    cfg = tiny_test_config()
+    params = jg.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    opt = trainer.make_optimizer(
+        params=params, factored_v=True, mu_dtype=jnp.bfloat16
+    )
+    state = trainer.init_train_state(params, opt, ema=False)
+    # advance the state so nu EMAs are nonzero before saving
+    g = jax.tree.map(jnp.ones_like, params)
+    u, new_opt_state = opt.update(g, state.opt_state, params)
+    state = state._replace(opt_state=new_opt_state, step=state.step + 1)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), keep=1, async_save=False)
+    mgr.save(1, state)
+    mgr.wait()
+
+    fresh_params = jg.init_params(cfg, jax.random.PRNGKey(1), dtype=jnp.float32)
+    target = trainer.init_train_state(fresh_params, opt, ema=False)
+    target = target._replace(
+        opt_state=opt.update(g, target.opt_state, fresh_params)[1],
+        step=target.step + 1,
+    )
+    restored, _ = mgr.restore(target)
+    # identical treedef (incl. the None-leaf positions) and identical values
+    assert jax.tree.structure(restored.opt_state) == jax.tree.structure(
+        state.opt_state
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        restored.opt_state,
+        state.opt_state,
+    )
+    mgr.close()
+
+
 def test_keep_latest(tmp_path):
     cfg = tiny_test_config()
     state = _state(cfg)

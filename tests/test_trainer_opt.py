@@ -1,10 +1,15 @@
 """Factored-Adam optimizer (trainer.scale_by_factored_adam).
 
-The claim under test: with factored second moments the update is EXACTLY
-Adam whenever g^2 is rank-1 over the trailing two dims (Adafactor's
-reconstruction v = r c / mean(r) is lossless there, Shazeer & Stern 2018
-§3), and the state is ~0 bytes/param for nu. The reference has no
-counterpart (its memory lever is CPU optimizer offload,
+What the factoring actually guarantees (Shazeer & Stern 2018 §3): the
+reconstruction v = r c / mean(r) is lossless exactly when the nu EMA is
+rank-1 over the trailing two dims. That holds at step 1 for any rank-1
+g^2, and at every step when the gradients keep a FIXED outer-product
+direction (g_t = s_t * a b^T with constant a, b — then each g_t^2 is
+s_t^2 * a^2 (b^2)^T and the EMA stays rank-1). An EMA of rank-1 matrices
+with *different* directions is not rank-1, so for general gradients the
+update is an Adafactor-quality approximation of Adam, not Adam — tested
+here as convergence on a convex quadratic plus state-size bounds. The
+reference has no counterpart (its memory lever is CPU optimizer offload,
 /root/reference/train/fsdp_utils.py:107-131)."""
 
 import jax
@@ -16,7 +21,7 @@ import pytest
 from g2vlm_tpu.train import trainer
 
 
-def _adam_updates(grads, params, steps, b1=0.9, b2=0.95, eps=1e-8):
+def _adam_updates(grads, params, b1=0.9, b2=0.95, eps=1e-8):
     opt = optax.scale_by_adam(b1=b1, b2=b2, eps=eps, eps_root=0.0)
     s = opt.init(params)
     outs = []
@@ -26,25 +31,67 @@ def _adam_updates(grads, params, steps, b1=0.9, b2=0.95, eps=1e-8):
     return outs
 
 
-def test_rank1_grads_match_adam_exactly():
-    """g = outer(a, b) each step => g^2 is rank-1 => factored v is exact
-    and the update equals optax Adam's to fp32 roundoff."""
+def test_step1_rank1_grad_matches_adam_exactly():
+    """At step 1 nu IS the (rank-1) g^2, so the factored update equals
+    optax Adam's to fp32 roundoff for any rank-1 gradient."""
     rng = np.random.default_rng(0)
     p = {"w": jnp.zeros((256, 384), jnp.float32)}
-    grads = []
-    for i in range(4):
-        a = rng.standard_normal((256, 1)).astype(np.float32)
-        b = rng.standard_normal((1, 384)).astype(np.float32)
-        grads.append({"w": jnp.asarray(a * b)})
+    a = rng.standard_normal((256, 1)).astype(np.float32)
+    b = rng.standard_normal((1, 384)).astype(np.float32)
+    g = {"w": jnp.asarray(a * b)}
 
     fopt = trainer.scale_by_factored_adam(b1=0.9, b2=0.95, eps=1e-8)
     fs = fopt.init(p)
-    ref = _adam_updates(grads, p, 4)
+    ref = _adam_updates([g], p)[0]
+    fu, fs = fopt.update(g, fs, p)
+    np.testing.assert_allclose(
+        np.asarray(fu["w"]), np.asarray(ref["w"]), rtol=2e-5, atol=2e-6
+    )
+
+
+def test_fixed_direction_grads_match_adam_every_step():
+    """g_t = s_t * a b^T with fixed a, b: every g_t^2 = s_t^2 a^2 (b^2)^T
+    shares one rank-1 direction, the nu EMA stays rank-1, and the factored
+    update equals Adam's at EVERY step."""
+    rng = np.random.default_rng(0)
+    p = {"w": jnp.zeros((256, 384), jnp.float32)}
+    a = rng.standard_normal((256, 1)).astype(np.float32)
+    b = rng.standard_normal((1, 384)).astype(np.float32)
+    scales = [1.0, -0.3, 2.7, 0.01]
+    grads = [{"w": jnp.asarray(s * a * b)} for s in scales]
+
+    fopt = trainer.scale_by_factored_adam(b1=0.9, b2=0.95, eps=1e-8)
+    fs = fopt.init(p)
+    ref = _adam_updates(grads, p)
     for i, g in enumerate(grads):
         fu, fs = fopt.update(g, fs, p)
         np.testing.assert_allclose(
-            np.asarray(fu["w"]), np.asarray(ref[i]["w"]), rtol=2e-5, atol=2e-6
+            np.asarray(fu["w"]), np.asarray(ref[i]["w"]),
+            rtol=2e-5, atol=2e-6,
         )
+
+
+def test_varying_direction_grads_diverge_from_adam():
+    """Regression guard on the honesty of the docstring: rank-1 grads with
+    per-step DIFFERENT directions make the nu EMA full-rank, so from step 2
+    the factored update must NOT equal Adam's (if this starts passing
+    bit-for-bit, the implementation silently stopped factoring)."""
+    rng = np.random.default_rng(0)
+    p = {"w": jnp.zeros((256, 384), jnp.float32)}
+    grads = []
+    for _ in range(3):
+        a = rng.standard_normal((256, 1)).astype(np.float32)
+        b = rng.standard_normal((1, 384)).astype(np.float32)
+        grads.append({"w": jnp.asarray(a * b)})
+    fopt = trainer.scale_by_factored_adam(b1=0.9, b2=0.95, eps=1e-8)
+    fs = fopt.init(p)
+    ref = _adam_updates(grads, p)
+    fu, fs = fopt.update(grads[0], fs, p)
+    fu2, fs = fopt.update(grads[1], fs, p)
+    rel = np.abs(np.asarray(fu2["w"]) - np.asarray(ref[1]["w"])) / (
+        np.abs(np.asarray(ref[1]["w"])) + 1e-12
+    )
+    assert rel.max() > 1e-3  # genuinely approximate, not roundoff
 
 
 def test_small_and_1d_leaves_use_full_nu():
@@ -62,7 +109,7 @@ def test_small_and_1d_leaves_use_full_nu():
     fs = fopt.init(p)
     assert fs.nu_full["b"] is not None and fs.nu_row["b"] is None
     assert fs.nu_full["s"] is not None
-    ref = _adam_updates(grads, p, 3)
+    ref = _adam_updates(grads, p)
     for i, g in enumerate(grads):
         fu, fs = fopt.update(g, fs, p)
         for k in p:
@@ -73,19 +120,19 @@ def test_small_and_1d_leaves_use_full_nu():
 
 def test_stacked_leading_axis_factored_per_slice():
     """(L, d1, d2) stacked-scan params (the MoT layout) factor the trailing
-    two dims per leading slice: rank-1-per-slice grads reproduce Adam."""
+    two dims per leading slice: fixed-direction rank-1 grads per slice
+    reproduce Adam at every step, independently per slice."""
     rng = np.random.default_rng(2)
     p = {"w": jnp.zeros((3, 128, 256), jnp.float32)}
-    grads = []
-    for _ in range(3):
-        a = rng.standard_normal((3, 128, 1)).astype(np.float32)
-        b = rng.standard_normal((3, 1, 256)).astype(np.float32)
-        grads.append({"w": jnp.asarray(a * b)})
+    a = rng.standard_normal((3, 128, 1)).astype(np.float32)
+    b = rng.standard_normal((3, 1, 256)).astype(np.float32)
+    scales = [1.0, 0.4, -1.9]
+    grads = [{"w": jnp.asarray(s * a * b)} for s in scales]
     fopt = trainer.scale_by_factored_adam()
     fs = fopt.init(p)
     assert fs.nu_row["w"].shape == (3, 128)
     assert fs.nu_col["w"].shape == (3, 256)
-    ref = _adam_updates(grads, p, 3)
+    ref = _adam_updates(grads, p)
     for i, g in enumerate(grads):
         fu, fs = fopt.update(g, fs, p)
         np.testing.assert_allclose(
@@ -94,8 +141,9 @@ def test_stacked_leading_axis_factored_per_slice():
 
 
 def test_general_grads_descend_and_state_is_small():
-    """Non-rank-1 grads: factored Adam still minimizes a convex quadratic,
-    and nu state is (d1+d2)/(d1*d2) of the param count."""
+    """Non-rank-1 grads: factored Adam still minimizes a convex quadratic
+    (run under jit so the None-leaf state is traced/donated like in
+    train_step), and nu state is (d1+d2) elements, not d1*d2."""
     d1, d2 = 256, 512
     rng = np.random.default_rng(3)
     tgt = jnp.asarray(rng.standard_normal((d1, d2)).astype(np.float32))
@@ -113,15 +161,15 @@ def test_general_grads_descend_and_state_is_small():
     def loss(p):
         return jnp.mean((p["w"] - tgt) ** 2)
 
-    l0 = float(loss(p))
-    step = jax.jit(
-        lambda p, s: (lambda g: optax.apply_updates(p, opt.update(g, s, p)[0]),
-                      opt.update(jax.grad(loss)(p), s, p))[1]
-    )
-    for _ in range(60):
+    @jax.jit
+    def step(p, s):
         g = jax.grad(loss)(p)
         u, s = opt.update(g, s, p)
-        p = optax.apply_updates(p, u)
+        return optax.apply_updates(p, u), s
+
+    l0 = float(loss(p))
+    for _ in range(60):
+        p, s = step(p, s)
     assert float(loss(p)) < 0.05 * l0
 
 

@@ -37,8 +37,9 @@ def parse_args():
                          "2 bytes/trainable param of optimizer state "
                          "(~4.2 GB at the 2.1B recon stage)")
     ap.add_argument("--factored_v", action="store_true",
-                    help="Adafactor-style factored second moments (exact "
-                         "Adam otherwise): nu drops from 4 bytes/param to "
+                    help="Adafactor-style factored second moments — an "
+                         "APPROXIMATION of Adam's nu (without the flag you "
+                         "get plain Adam): nu drops from 4 bytes/param to "
                          "~0 — with --mu_dtype bfloat16 the optimizer "
                          "state is ~2 bytes/trainable param, which is what "
                          "fits the single-chip recon stage (the reference's "
