@@ -125,6 +125,63 @@ def load_segformer_pth(path: str) -> Dict:
     return segformer.params_from_torch(sd)
 
 
+def module_checksums(params: Dict) -> Dict[str, Dict]:
+    """Per-top-level-module fingerprints (param count + fp64 sum of values)
+    for comparing a loaded tree against another implementation's load of the
+    same checkpoint without shipping the weights themselves."""
+    import jax
+
+    out = {}
+    for mod, sub in params.items():
+        leaves = jax.tree.leaves(sub)
+        out[mod] = {
+            "leaves": len(leaves),
+            "params": int(sum(np.asarray(x).size for x in leaves)),
+            "value_sum": float(
+                sum(np.asarray(x, np.float64).sum() for x in leaves)
+            ),
+        }
+    return out
+
+
+def _audit_cli(checkpoint_dir: str) -> int:
+    """`python -m g2vlm_tpu.weights --audit <ckpt_dir>`: strict pass/fail on
+    the real `InternRobotics/G2VLM-2B-MoT` checkpoint (the artifact this
+    environment cannot fetch — reference load path g2vlm_utils.py:31-70,
+    whose strict=False silently drops mismatches; this is the strict cure).
+
+    Prints the exact two-way key diff (checkpoint keys no mapper consumed;
+    mapper keys the checkpoint lacks), then per-module checksums of the
+    loaded tree. Exit code 0 only on a clean two-way match."""
+    cfg = G2VLMConfig.from_checkpoint_dir(checkpoint_dir)
+    sd = load_safetensors(os.path.join(checkpoint_dir, "model.safetensors"))
+    print(f"checkpoint: {len(sd)} tensors, "
+          f"{sum(v.size for v in sd.values())/1e9:.3f}B params")
+    diff = audit_keys(sd, cfg)
+    for kind in ("missing", "unknown"):
+        ks = diff[kind]
+        label = ("mapper needs, checkpoint lacks" if kind == "missing"
+                 else "checkpoint has, no mapper consumed")
+        print(f"{kind} ({label}): {len(ks)}")
+        for k in ks[:50]:
+            print(f"  {k}")
+        if len(ks) > 50:
+            print(f"  ... and {len(ks) - 50} more")
+    if diff["missing"]:
+        print("AUDIT: FAIL (cannot build params — missing keys above)")
+        return 1
+    params = jg.params_from_torch(sd, cfg)
+    print("per-module checksums (count / value sum):")
+    for mod, info in sorted(module_checksums(params).items()):
+        print(f"  {mod:12s} {info['params']:>13,d}  "
+              f"sum={info['value_sum']:+.6e}")
+    if diff["unknown"]:
+        print("AUDIT: FAIL (unconsumed checkpoint keys above)")
+        return 1
+    print("AUDIT: PASS (exact two-way key match)")
+    return 0
+
+
 def init_moe_from_dense(params: Dict) -> Dict:
     """Bootstrap MoT expert weights by copying the base expert (reference
     Qwen2VLForCausalLM.init_moe, qwen2vl.py:1352-1356, used with
@@ -148,3 +205,14 @@ def init_moe_from_dense(params: Dict) -> Dict:
     out = dict(params)
     out["llm"] = llm
     return out
+
+
+if __name__ == "__main__":
+    import argparse
+    import sys
+
+    ap = argparse.ArgumentParser(
+        description="Strict two-way audit of a reference checkpoint dir "
+                    "(text/vit/dino_config.json + model.safetensors)")
+    ap.add_argument("--audit", metavar="CKPT_DIR", required=True)
+    sys.exit(_audit_cli(ap.parse_args().audit))

@@ -232,3 +232,45 @@ def test_chat_real_bpe_token_parity(rng, tmp_path):
     )
     got = pipe.chat([img], question, max_new_tokens=MAX_NEW)
     assert got == ref_out
+
+
+def test_weights_audit_cli_roundtrip(tmp_path, capsys):
+    """`python -m g2vlm_tpu.weights --audit <dir>` against a synthetic
+    reference-layout checkpoint (config JSON triplet + model.safetensors):
+    clean checkpoint -> exit 0 / AUDIT: PASS; one renamed key -> exit 1.
+    This is the affordance the first real-checkpoint user runs to produce
+    the fidelity evidence this environment cannot (no weights obtainable;
+    reference load path g2vlm_utils.py:31-70)."""
+    import dataclasses
+    import json
+
+    from safetensors.numpy import save_file
+
+    from g2vlm_tpu import weights as W
+
+    model = _ref_g2vlm()
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    ck = tmp_path / "ckpt"
+    ck.mkdir()
+    save_file(sd, str(ck / "model.safetensors"))
+    (ck / "text_config.json").write_text(
+        json.dumps(dataclasses.asdict(CFG.llm))
+    )
+    (ck / "vit_config.json").write_text(
+        json.dumps(dataclasses.asdict(CFG.vit))
+    )
+    (ck / "dino_config.json").write_text(
+        json.dumps(dataclasses.asdict(CFG.dino))
+    )
+
+    assert W._audit_cli(str(ck)) == 0
+    out = capsys.readouterr().out
+    assert "AUDIT: PASS" in out and "per-module checksums" in out
+
+    bad = dict(sd)
+    bad["language_model.model.layers.0.ls1.weight"] = bad.pop(
+        "language_model.model.layers.0.ls1.gamma"
+    )
+    save_file(bad, str(ck / "model.safetensors"))
+    assert W._audit_cli(str(ck)) == 1
+    assert "AUDIT: FAIL" in capsys.readouterr().out
