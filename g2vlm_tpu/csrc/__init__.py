@@ -59,6 +59,19 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 i64, i64, i64,                       # patch, merge, tps
                 p(ctypes.c_float),                   # out rows
             ]
+            lib.resize_window_u8.argtypes = [
+                p(ctypes.c_uint8), i64, i64,        # src, sh, sw
+                i64, i64, i64, i64,                  # cl, ct, cw, ch
+                p(ctypes.c_uint8), i64, i64,        # dst, dh, dw
+                i64, i64,                            # channels, filter
+            ]
+            lib.color_jitter_f32.argtypes = [
+                p(ctypes.c_float), i64, i64,        # img (3,h,w), h, w
+                p(ctypes.c_int32), i64,              # ops, n_ops
+                ctypes.c_float, ctypes.c_float,      # fb, fc
+                ctypes.c_float, ctypes.c_float,      # fs, fh
+                ctypes.c_int32,                      # do_grayscale
+            ]
             i32p = p(ctypes.c_int32)
             i64p = p(ctypes.c_int64)
             u8p = p(ctypes.c_uint8)
@@ -206,6 +219,61 @@ def vit_preprocess(
         _fptr(rows),
     )
     return rows, (1, gh, gw)
+
+
+def crop_resize_u8(
+    image: np.ndarray,  # (H, W, C) uint8
+    crop_box,           # (l, t, r, b) PIL convention, or None for full image
+    out_wh,             # (W, H) like PIL Image.resize
+    filter: str = "bicubic",
+) -> "np.ndarray | None":
+    """Native PIL-semantics crop+resize to uint8 (one fused pass, float
+    accumulation, PIL output rounding). Drop-in for
+    Image.fromarray(a).crop(box).resize(out_wh, BICUBIC|LANCZOS) in the
+    dino/recon host path (reference pi3/utils/cropping.py rescale path).
+    Returns None when the native library is unavailable (caller falls back
+    to PIL)."""
+    lib = get_lib()
+    if lib is None or image.dtype != np.uint8 or image.ndim != 3:
+        return None
+    h, w, c = image.shape
+    if crop_box is None:
+        crop_box = (0, 0, w, h)
+    l, t, r, b = (int(x) for x in crop_box)
+    if not (0 <= l < r <= w and 0 <= t < b <= h):
+        return None  # out-of-bounds crops: PIL zero-pads; keep PIL for those
+    dw, dh = (int(x) for x in out_wh)
+    img = np.ascontiguousarray(image)
+    dst = np.empty((dh, dw, c), np.uint8)
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    lib.resize_window_u8(
+        img.ctypes.data_as(u8), h, w, l, t, r - l, b - t,
+        dst.ctypes.data_as(u8), dh, dw, c,
+        1 if filter == "lanczos" else 0,
+    )
+    return dst
+
+
+def color_jitter(
+    img: np.ndarray,  # (3, H, W) float32 [0,1], modified IN PLACE when native
+    ops: np.ndarray,  # permutation over {0,1,2,3}
+    fb: float, fc: float, fs: float, fh: float,
+    do_grayscale: bool,
+) -> "np.ndarray | None":
+    """Native fused ColorJitter(+grayscale) matching data/augment.py's op
+    sequence bit-for-bit in structure (fp32 roundoff-level differences).
+    Returns None when unavailable; caller falls back to numpy."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray(img, np.float32)
+    ops = np.ascontiguousarray(ops, np.int32)
+    lib.color_jitter_f32(
+        _fptr(img), img.shape[1], img.shape[2],
+        ops.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(ops),
+        fb, fc, fs, fh, 1 if do_grayscale else 0,
+    )
+    return img
 
 
 def resize_bilinear(src: np.ndarray, out_hw) -> np.ndarray:

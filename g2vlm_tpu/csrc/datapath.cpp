@@ -199,8 +199,21 @@ static inline double keys_cubic(double x) {
     return 0.0;
 }
 
-static ResamplePlan make_plan(std::int64_t in, std::int64_t out) {
-    const double support0 = 2.0;  // bicubic support
+static inline double lanczos3(double x) {
+    // PIL's LANCZOS filter: sinc(x) * sinc(x/3), support 3
+    x = std::abs(x);
+    if (x >= 3.0) return 0.0;
+    if (x < 1e-12) return 1.0;
+    const double pi = 3.14159265358979323846;
+    double a = pi * x;
+    return 3.0 * std::sin(a) * std::sin(a / 3.0) / (a * a);
+}
+
+// filter: 0 = bicubic (support 2), 1 = lanczos3 (support 3)
+static ResamplePlan make_plan(std::int64_t in, std::int64_t out,
+                              int filter = 0) {
+    const double support0 = filter == 1 ? 3.0 : 2.0;
+    double (*kern)(double) = filter == 1 ? lanczos3 : keys_cubic;
     double scale = (double)in / out;
     double filterscale = scale < 1.0 ? 1.0 : scale;
     double support = support0 * filterscale;
@@ -219,7 +232,7 @@ static ResamplePlan make_plan(std::int64_t in, std::int64_t out) {
         double ss = 0.0;
         double* tmp = new double[n];
         for (std::int64_t i = 0; i < n; ++i) {
-            double w = keys_cubic((xmin + i - center + 0.5) / filterscale);
+            double w = kern((xmin + i - center + 0.5) / filterscale);
             tmp[i] = w;
             ss += w;
         }
@@ -238,17 +251,21 @@ static void free_plan(ResamplePlan& p) {
     delete[] p.coeffs;
 }
 
-// separable bicubic resize: uint8 HWC -> float32 HWC (values in [0,255])
-static void resize_bicubic_u8(
-    const std::uint8_t* src, std::int64_t sh, std::int64_t sw,
-    float* dst, std::int64_t dh, std::int64_t dw, std::int64_t c)
+// separable resize of a crop window: uint8 HWC (row stride `sstride` pixels,
+// window origin cl,ct, window dims sh,sw) -> float32 HWC (values in [0,255])
+static void resize_window_u8_f32(
+    const std::uint8_t* src0, std::int64_t sh, std::int64_t sw,
+    std::int64_t sstride, std::int64_t cl, std::int64_t ct,
+    float* dst, std::int64_t dh, std::int64_t dw, std::int64_t c,
+    int filter)
 {
-    ResamplePlan px = make_plan(sw, dw);
-    ResamplePlan py = make_plan(sh, dh);
+    const std::uint8_t* src = src0 + (ct * sstride + cl) * c;
+    ResamplePlan px = make_plan(sw, dw, filter);
+    ResamplePlan py = make_plan(sh, dh, filter);
     // horizontal pass: (sh, dw, c)
     float* mid = new float[sh * dw * c];
     for (std::int64_t y = 0; y < sh; ++y) {
-        const std::uint8_t* row = src + y * sw * c;
+        const std::uint8_t* row = src + y * sstride * c;
         for (std::int64_t x = 0; x < dw; ++x) {
             std::int64_t x0 = px.bounds[x * 2], n = px.bounds[x * 2 + 1];
             const float* k = px.coeffs + x * px.ksize;
@@ -284,6 +301,14 @@ static void resize_bicubic_u8(
     delete[] mid;
     free_plan(px);
     free_plan(py);
+}
+
+// original full-image bicubic entry, kept for vit_preprocess_u8
+static void resize_bicubic_u8(
+    const std::uint8_t* src, std::int64_t sh, std::int64_t sw,
+    float* dst, std::int64_t dh, std::int64_t dw, std::int64_t c)
+{
+    resize_window_u8_f32(src, sh, sw, sw, 0, 0, dst, dh, dw, c, 0);
 }
 
 }  // namespace
@@ -350,6 +375,121 @@ void vit_preprocess_u8(
     }
     delete[] stage2;
     delete[] stage1;
+}
+
+// PIL-semantics crop+resize: uint8 HWC image, crop window (cl, ct, cw, chh)
+// resized to (dh, dw), quantized back to uint8 exactly like PIL's 8bpc
+// output rounding. Drop-in for Image.crop((l,t,r,b)).resize((dw,dh), f)
+// in the dino/recon host path (data/cropping.py rescale_image_depthmap,
+// reference pi3/utils/cropping.py:21-208). filter: 0 bicubic, 1 lanczos3
+// (the reference uses LANCZOS when downscaling, BICUBIC upscaling).
+void resize_window_u8(
+    const std::uint8_t* src, std::int64_t sh, std::int64_t sw,
+    std::int64_t cl, std::int64_t ct, std::int64_t cw, std::int64_t chh,
+    std::uint8_t* dst, std::int64_t dh, std::int64_t dw,
+    std::int64_t c, std::int64_t filter)
+{
+    float* tmp = new float[dh * dw * c];
+    resize_window_u8_f32(src, chh, cw, sw, cl, ct, tmp, dh, dw, c,
+                         (int)filter);
+    for (std::int64_t i = 0; i < dh * dw * c; ++i) {
+        float v = tmp[i];
+        v = v < 0.f ? 0.f : (v > 255.f ? 255.f : v);
+        dst[i] = (std::uint8_t)(v + 0.5f);
+    }
+    delete[] tmp;
+}
+
+// torchvision-ColorJitter-order augmentation on (3, h, w) float32 [0,1],
+// in place — the exact op sequence of data/augment.py
+// random_color_augmentation (reference data/augmentation_vggt.py:11-72):
+// ops[i] in {0 brightness, 1 contrast, 2 saturation, 3 hue} applied in the
+// given order with a clip to [0,1] after each; optional grayscale after.
+// RNG draws (factors, order, gates) stay in Python so the augmentation
+// stream is identical to the numpy fallback.
+void color_jitter_f32(
+    float* img, std::int64_t h, std::int64_t w,
+    const std::int32_t* ops, std::int64_t n_ops,
+    float fb, float fc, float fs, float fh,
+    std::int32_t do_grayscale)
+{
+    const std::int64_t plane = h * w;
+    float* r = img;
+    float* g = img + plane;
+    float* b = img + 2 * plane;
+    auto clip01 = [](float v) {
+        return v < 0.f ? 0.f : (v > 1.f ? 1.f : v);
+    };
+    for (std::int64_t o = 0; o < n_ops; ++o) {
+        switch (ops[o]) {
+        case 0:  // brightness
+            for (std::int64_t i = 0; i < 3 * plane; ++i)
+                img[i] = clip01(img[i] * fb);
+            break;
+        case 1: {  // contrast about the mean luminance
+            double acc = 0.0;
+            for (std::int64_t i = 0; i < plane; ++i)
+                acc += 0.299 * r[i] + 0.587 * g[i] + 0.114 * b[i];
+            float m = (float)(acc / plane);
+            for (std::int64_t i = 0; i < 3 * plane; ++i)
+                img[i] = clip01((img[i] - m) * fc + m);
+            break;
+        }
+        case 2:  // saturation toward per-pixel luminance
+            for (std::int64_t i = 0; i < plane; ++i) {
+                float gray = 0.299f * r[i] + 0.587f * g[i] + 0.114f * b[i];
+                r[i] = clip01((r[i] - gray) * fs + gray);
+                g[i] = clip01((g[i] - gray) * fs + gray);
+                b[i] = clip01((b[i] - gray) * fs + gray);
+            }
+            break;
+        default:  // hue rotation via HSV round-trip (augment.py:20-46)
+            for (std::int64_t i = 0; i < plane; ++i) {
+                float rr = clip01(r[i]), gg = clip01(g[i]), bb = clip01(b[i]);
+                float maxc = std::max({rr, gg, bb});
+                float minc = std::min({rr, gg, bb});
+                float v = maxc, delta = maxc - minc;
+                float s = maxc > 0.f
+                    ? delta / std::max(maxc, 1e-12f) : 0.f;
+                float dz = std::max(delta, 1e-12f);
+                float rc = (maxc - rr) / dz;
+                float gc = (maxc - gg) / dz;
+                float bc = (maxc - bb) / dz;
+                float hh = rr == maxc ? bc - gc
+                         : gg == maxc ? 2.f + rc - bc
+                                      : 4.f + gc - rc;
+                hh = hh / 6.f;
+                hh -= std::floor(hh);
+                if (delta == 0.f) hh = 0.f;
+                hh += fh;
+                hh -= std::floor(hh);
+                float f6 = hh * 6.f;
+                float fi = std::floor(f6);
+                float f = f6 - fi;
+                float p = v * (1.f - s);
+                float q = v * (1.f - s * f);
+                float t = v * (1.f - s * (1.f - f));
+                int ii = ((int)fi) % 6;
+                float r2, g2, b2;
+                switch (ii) {
+                case 0: r2 = v; g2 = t; b2 = p; break;
+                case 1: r2 = q; g2 = v; b2 = p; break;
+                case 2: r2 = p; g2 = v; b2 = t; break;
+                case 3: r2 = p; g2 = q; b2 = v; break;
+                case 4: r2 = t; g2 = p; b2 = v; break;
+                default: r2 = v; g2 = p; b2 = q; break;
+                }
+                r[i] = clip01(r2); g[i] = clip01(g2); b[i] = clip01(b2);
+            }
+        }
+    }
+    if (do_grayscale) {
+        for (std::int64_t i = 0; i < plane; ++i) {
+            float gray = 0.299f * r[i] + 0.587f * g[i] + 0.114f * b[i];
+            gray = clip01(gray);
+            r[i] = gray; g[i] = gray; b[i] = gray;
+        }
+    }
 }
 
 }  // extern "C"

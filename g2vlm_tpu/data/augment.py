@@ -57,14 +57,30 @@ def random_color_augmentation(
     grayscale_p: float = 0.05,
 ) -> np.ndarray:
     """img (3, H, W) float [0,1]. torchvision ColorJitter semantics: random
-    order of the four adjustments, factors uniform in [1-x, 1+x]."""
-    out = img.astype(np.float32)
-    if rng.random() < jitter_p:
+    order of the four adjustments, factors uniform in [1-x, 1+x].
+
+    All RNG draws happen here (same order either way), then the pixel work
+    runs in one fused native pass (csrc color_jitter_f32) when the toolchain
+    is present — the numpy hue round-trip below was the measured hot spot of
+    the whole host data path (~70% of pack time) — with this numpy body as
+    the exact-semantics fallback."""
+    out = img.astype(np.float32)  # astype always copies here
+    jit = rng.random() < jitter_p
+    ops, fb, fc, fs, fh = np.zeros(0, np.int32), 0.0, 0.0, 0.0, 0.0
+    if jit:
         ops = rng.permutation(4)
         fb = rng.uniform(max(0.0, 1 - brightness), 1 + brightness)
         fc = rng.uniform(max(0.0, 1 - contrast), 1 + contrast)
         fs = rng.uniform(max(0.0, 1 - saturation), 1 + saturation)
         fh = rng.uniform(-hue, hue)
+    do_gray = rng.random() < grayscale_p
+    if jit or do_gray:
+        from ..csrc import color_jitter
+
+        res = color_jitter(out, ops, fb, fc, fs, fh, do_gray)
+        if res is not None:
+            return res
+    if jit:
         for op in ops:
             if op == 0:
                 out = out * fb
@@ -77,6 +93,6 @@ def random_color_augmentation(
             else:
                 out = _adjust_hue(np.clip(out, 0.0, 1.0), fh)
             out = np.clip(out, 0.0, 1.0)
-    if rng.random() < grayscale_p:
+    if do_gray:
         out = _grayscale(out)
     return np.clip(out, 0.0, 1.0).astype(np.float32)

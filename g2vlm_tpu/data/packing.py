@@ -273,10 +273,15 @@ class SequencePacker:
             )
             if imgs.max() > 1.5:
                 imgs = imgs / 255.0
-            imgs = imgs.transpose(0, 3, 1, 2)  # NCHW [0,1]; aug + normalize
+            imgs = imgs.transpose(0, 3, 1, 2)  # NCHW [0,1]
             if rng is not None:
                 imgs = apply_cojitter(imgs, rng, self.cfg.cojitter_prob)
-            batch["dino_images"] = imgs
+            # /255 -> cojitter -> RESNET normalize, the reference order
+            # (dataset_base.py:262-289); TrainBatch.dino_images is consumed
+            # normalized by the dino encoder
+            from .images import resnet_normalize
+
+            batch["dino_images"] = resnet_normalize(imgs)
             for k in ("depths", "extrinsics", "intrinsics", "world_points"):
                 if self.gt[k][0] is not None:
                     batch[k] = np.stack(

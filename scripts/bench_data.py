@@ -42,6 +42,7 @@ def _e2e_make_iter(wid: int):
     add_sample/to_batch. Module-level so ProcessPrefetchLoader can pickle it."""
     from PIL import Image
 
+    from g2vlm_tpu.csrc import crop_resize_u8
     from g2vlm_tpu.data.packing import PackerConfig, SequencePacker
 
     ids = dict(
@@ -66,11 +67,17 @@ def _e2e_make_iter(wid: int):
         while packer.curr + 8 * per_view + 8 < pcfg.expected_num_tokens:
             views = []
             for _ in range(8):
-                img = Image.fromarray(frame).resize(
-                    (w, h), Image.Resampling.BICUBIC
-                )
-                arr = np.asarray(img, np.float32) / 255.0
-                arr = (arr - RESNET_MEAN) / RESNET_STD
+                # the real recon path: uint8 crop+resize here; /255 ->
+                # cojitter -> RESNET normalize happen in the packer's
+                # to_batch (the reference order, dataset_base.py:262-289)
+                arr = crop_resize_u8(frame, None, (w, h), "bicubic")
+                if arr is None:  # no toolchain: PIL fallback
+                    arr = np.asarray(
+                        Image.fromarray(frame).resize(
+                            (w, h), Image.Resampling.BICUBIC
+                        ),
+                        np.uint8,
+                    )
                 views.append(
                     dict(
                         image=arr,

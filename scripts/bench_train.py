@@ -43,6 +43,17 @@ def main():
                     choices=[None, "bfloat16"],
                     help="AdamW first moment dtype for the opt/EMA slice "
                          "timing (train.py --mu_dtype production option)")
+    ap.add_argument("--factored_v", action="store_true",
+                    help="Adafactor-style factored second moments for the "
+                         "opt slice timing (train.py --factored_v): nu "
+                         "drops from 4 bytes/param to ~0")
+    ap.add_argument("--no_ema", action="store_true",
+                    help="skip the EMA update in the opt slice (EMA adds "
+                         "2-4 bytes/param of state + one elementwise pass)")
+    ap.add_argument("--vit_images", type=int, default=1,
+                    help="number of 768-budget semantic images in the pack "
+                         "(und-SFT packs with >1 image raise the pack fill "
+                         "and amortize the weight-grad pass)")
     ap.add_argument("--head_view_chunk", type=int, default=8,
                     help="Pi3-head view chunk (lax.map) bounding the head "
                          "backward arena; 0 = all views at once")
@@ -107,17 +118,20 @@ def main():
     if not args.no_vit:
         from g2vlm_tpu.models.qwen_vit import pack_views
 
-        # one 768-budget semantic image (grid 2x54x54 -> 729 merged tokens)
+        # N 768-budget semantic images (grid 2x54x54 -> 729 merged tokens
+        # each); und-SFT packs with several images raise pack fill
         gh = gw = 4 if args.tiny else 54
-        n_pat = 2 * gh * gw // 2  # temporal_patch 2 folded into patch rows
-        pats = rng.standard_normal(
-            (gh * gw, cfg.vit.in_channels * 2 * cfg.vit.patch_size ** 2)
-        ).astype(np.float32)
-        view = {"patches": pats, "grid_thw": (1, gh, gw)}
+        views = []
+        for _ in range(args.vit_images):
+            pats = rng.standard_normal(
+                (gh * gw, cfg.vit.in_channels * 2 * cfg.vit.patch_size ** 2)
+            ).astype(np.float32)
+            views.append({"patches": pats, "grid_thw": (1, gh, gw)})
         vit_patches, vit_coords, vit_seg, n_merged = pack_views(
-            [view], pad_to=gh * gw
+            views, pad_to=args.vit_images * gh * gw
         )
-        b.add_vit_image(gh // 2, gw // 2)
+        for _ in range(args.vit_images):
+            b.add_vit_image(gh // 2, gw // 2)
         vit_payload = dict(
             vit_patches=jnp.asarray(vit_patches),
             vit_coords=jnp.asarray(vit_coords),
@@ -290,19 +304,31 @@ def main():
     if args.freeze_und or args.freeze_recon:
         del train_list, frozen_list, flat_p
     slice_n = sum(x.size for x in jax.tree.leaves(slice_tree))
-    opt = optax.adamw(1e-4, b1=0.9, b2=0.95, weight_decay=0.05,
-                      mu_dtype=jnp.bfloat16 if args.mu_dtype else None)
+    opt = trainer.make_optimizer(
+        learning_rate=1e-4, b1=0.9, b2=0.95, weight_decay=0.05,
+        mu_dtype=jnp.bfloat16 if args.mu_dtype else None,
+        factored_v=args.factored_v,
+    )
     opt_state = jax.jit(opt.init)(slice_tree)
+    state_bytes = sum(
+        x.size * x.dtype.itemsize
+        for x in jax.tree.leaves(opt_state)
+        if hasattr(x, "dtype")
+    )
+    print(f"opt state: {state_bytes / slice_n:.2f} bytes/param on the slice "
+          f"(factored_v={args.factored_v}, mu_dtype={args.mu_dtype}, "
+          f"ema={not args.no_ema})", flush=True)
 
     @jax.jit
     def opt_step(p, s, g, ema):
         upd, s = opt.update(g, s, p)
         p = optax.apply_updates(p, upd)
-        ema = jax.tree.map(lambda e, q: e * 0.9999 + q * 0.0001, ema, p)
+        if ema is not None:
+            ema = jax.tree.map(lambda e, q: e * 0.9999 + q * 0.0001, ema, p)
         return p, s, ema
 
     g_slice = jax.tree.map(lambda x: x * 0.0, slice_tree)
-    ema = jax.tree.map(jnp.copy, slice_tree)
+    ema = None if args.no_ema else jax.tree.map(jnp.copy, slice_tree)
     out = opt_step(slice_tree, opt_state, g_slice, ema)
     jax.block_until_ready(out)
     ts = []

@@ -131,7 +131,7 @@ def test_packer_builds_train_batch(scene_jsonl):
         ce_indexes=batch["ce_indexes"],
         ce_labels=batch["ce_labels"],
         ce_weights=batch["ce_weights"],
-        dino_images=batch["dino_images"] - 0.45,  # ~normalized
+        dino_images=batch["dino_images"],
         world_points=batch["world_points"][None],
         point_masks=batch["point_masks"][None],
         extrinsics=batch["extrinsics"][None],
@@ -180,7 +180,7 @@ def test_split_layout_train_forward_matches_mixed(scene_jsonl):
             ce_indexes=batch["ce_indexes"],
             ce_labels=batch["ce_labels"],
             ce_weights=batch["ce_weights"],
-            dino_images=batch["dino_images"] - 0.45,
+            dino_images=batch["dino_images"],
             world_points=batch["world_points"][None],
             point_masks=batch["point_masks"][None],
             extrinsics=batch["extrinsics"][None],

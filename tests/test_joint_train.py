@@ -98,7 +98,7 @@ def _to_train_batch(batch, sky_masks=None):
             ce_indexes=batch["ce_indexes"],
             ce_labels=batch["ce_labels"],
             ce_weights=batch["ce_weights"],
-            dino_images=batch["dino_images"] - 0.45,
+            dino_images=batch["dino_images"],
             world_points=batch["world_points"][None],
             point_masks=batch["point_masks"][None],
             extrinsics=batch["extrinsics"][None],

@@ -113,3 +113,91 @@ def test_vit_preprocess_fast_dispatch(rng):
         os.environ.pop("G2VLM_NATIVE_VIT")
     assert rows.shape == rows2.shape and tuple(grid) == tuple(grid2)
     assert np.abs(rows - rows2).max() < 3.5 / 255.0 / 0.26
+
+
+def test_crop_resize_u8_matches_pil(lib, rng):
+    """Native crop+resize vs PIL, both filters, up and down scale, with and
+    without a crop window: PIL's 8bpc path runs int16 fixed-point, ours fp32,
+    so outputs may differ by 1 LSB — never more."""
+    from PIL import Image
+
+    img = (rng.random((120, 160, 3)) * 255).astype(np.uint8)
+    cases = [
+        (None, (110, 64), "bicubic", Image.Resampling.BICUBIC),
+        (None, (110, 64), "lanczos", Image.Resampling.LANCZOS),
+        (None, (220, 180), "bicubic", Image.Resampling.BICUBIC),
+        ((13, 7, 150, 110), (96, 56), "lanczos", Image.Resampling.LANCZOS),
+    ]
+    for box, out_wh, filt, pilf in cases:
+        pim = Image.fromarray(img)
+        if box is not None:
+            pim = pim.crop(box)
+        ref = np.asarray(pim.resize(out_wh, pilf))
+        got = csrc.crop_resize_u8(img, box, out_wh, filt)
+        assert got.shape == ref.shape
+        d = np.abs(ref.astype(int) - got.astype(int))
+        assert d.max() <= 1, (box, out_wh, filt, d.max())
+
+
+def test_crop_resize_u8_oob_crop_falls_back():
+    """Out-of-bounds crops (PIL zero-pads) are not supported natively —
+    the wrapper must return None so callers keep PIL semantics."""
+    img = np.zeros((20, 20, 3), np.uint8)
+    assert csrc.crop_resize_u8(img, (-2, 0, 10, 10), (8, 8)) is None
+    assert csrc.crop_resize_u8(img, (0, 0, 25, 10), (8, 8)) is None
+
+
+def test_color_jitter_native_matches_numpy(lib, rng):
+    """Fused native ColorJitter vs the numpy fallback over many seeds (covers
+    every op order, the jitter/grayscale gates, and the hue HSV round-trip).
+    RNG draws happen before the dispatch so both paths see identical factors."""
+    from g2vlm_tpu.data import augment
+
+    x = rng.random((3, 48, 72)).astype(np.float32)
+    orig = csrc.color_jitter
+    try:
+        for seed in range(24):
+            a = augment.random_color_augmentation(
+                x, np.random.default_rng(seed)
+            )
+            csrc.color_jitter = lambda *a_, **k_: None  # force numpy body
+            b = augment.random_color_augmentation(
+                x, np.random.default_rng(seed)
+            )
+            csrc.color_jitter = orig
+            np.testing.assert_allclose(a, b, atol=2e-6, err_msg=f"seed {seed}")
+    finally:
+        csrc.color_jitter = orig
+
+
+def test_packer_normalizes_dino_images(rng):
+    """to_batch output must be RESNET-normalized (the reference order:
+    /255 -> cojitter -> normalize, dataset_base.py:262-289) — TrainBatch
+    consumes dino_images normalized."""
+    import random as pyrandom
+
+    from g2vlm_tpu.data.images import RESNET_MEAN, RESNET_STD
+    from g2vlm_tpu.data.packing import PackerConfig, SequencePacker
+
+    ids = dict(bos_token_id=7, eos_token_id=8, start_of_image=11,
+               end_of_image=12)
+    h = w = 28
+    cfg = PackerConfig(
+        expected_num_tokens=64, max_num_tokens_per_sample=64,
+        max_num_tokens=128, max_ce_slots=8, dino_patch_size=14,
+        cojitter_prob=0.0,
+    )
+    packer = SequencePacker(cfg, ids)
+    img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+    views = [dict(image=img,
+                  world_points=np.zeros((h, w, 3), np.float32),
+                  point_masks=np.ones((h, w), bool),
+                  extrinsics=np.eye(4, dtype=np.float32))]
+    s = dict(plan=[{"type": "text"}, {"type": "dino_image"}],
+             text_ids_list=[[5]], dino_views=views, num_tokens=1 + 6)
+    packer.add_sample(s, pyrandom.Random(0))
+    batch = packer.to_batch(None)  # rng None: no aug -> exact normalize check
+    expect = (img.astype(np.float32) / 255.0 - RESNET_MEAN) / RESNET_STD
+    np.testing.assert_allclose(
+        batch["dino_images"][0], expect.transpose(2, 0, 1), atol=1e-6
+    )

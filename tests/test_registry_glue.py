@@ -139,7 +139,7 @@ def test_yaml_config_to_train_step(yaml_path):
         ce_indexes=batch["ce_indexes"],
         ce_labels=batch["ce_labels"],
         ce_weights=batch["ce_weights"],
-        dino_images=batch["dino_images"] - 0.45,
+        dino_images=batch["dino_images"],
         world_points=batch["world_points"][None],
         point_masks=batch["point_masks"][None],
         extrinsics=batch["extrinsics"][None],
