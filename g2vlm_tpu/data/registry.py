@@ -78,6 +78,12 @@ def build_groups_from_config(
                 fr = gcfg.get("frame_sampler_args", {})
                 if "max_num_frames" in fr:
                     kwargs["num_video_frames"] = fr["max_num_frames"]
+                vargs = gcfg.get("vit_image_transform_args", {})
+                if "image_size_h" in vargs:
+                    kwargs["target_hw"] = (
+                        vargs["image_size_h"],
+                        vargs.get("image_size_w", vargs["image_size_h"]),
+                    )
             elif gname == "recon_then_und":
                 # data_dir may be a local path or any fs URI (hdfs://,
                 # s3://, or a register_fs_factory scheme); num_used_data

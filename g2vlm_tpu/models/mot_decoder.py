@@ -481,6 +481,25 @@ def decoder_forward(
         position_ids, cfg.head_dim, cfg.rope_theta, cfg.mrope_section
     )
 
+    def _pin_replicated(x):
+        """Pin a rope table replicated (per dp shard). Without this, the
+        partitioner puts the fsdp sharding on the tables' batch dim at the
+        layer-scan boundary and then "involuntarily rematerializes" them to
+        the in-loop consumer sharding every iteration (spmd_partitioner.cc
+        warning in MULTICHIP_r04's interpret-Pallas dryrun tail). Applied
+        INSIDE the scan body — a pin outside the loop does not bind the
+        while-loop param sharding. (S, hd) fp32 is tiny — replication is the
+        right layout. No-op without an active mesh."""
+        try:
+            from jax.sharding import PartitionSpec
+            from jax._src.mesh import thread_resources
+
+            if not thread_resources.env.physical_mesh.empty:
+                return jax.lax.with_sharding_constraint(x, PartitionSpec())
+        except (ImportError, AttributeError):
+            pass  # jax internals moved: skip the pin (purely a perf hint)
+        return x
+
     layers = params["layers"]
 
     def body(carry, xs):
@@ -490,8 +509,8 @@ def decoder_forward(
             lp,
             h,
             is_geo,
-            cos,
-            sin,
+            _pin_replicated(cos),
+            _pin_replicated(sin),
             q_info,
             kv_info,
             pkv,

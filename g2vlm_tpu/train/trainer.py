@@ -459,7 +459,10 @@ def make_train_step(
             total = jnp.stack([t for t, _ in outs])
             details = jax.tree.map(lambda *xs: jnp.stack(xs), *[d for _, d in outs])
         else:
-            total, details = jax.vmap(one)(batch)
+            # spmd_axis_name binds the mapped batch dim of any sharding
+            # constraint inside the model (e.g. the rope-table pin in
+            # mot_decoder) to the dp mesh axis; inert when no mesh is active
+            total, details = jax.vmap(one, spmd_axis_name="dp")(batch)
         return jnp.mean(total), jax.tree.map(jnp.mean, details)
 
     def train_step(state: TrainState, batch: TrainBatch):

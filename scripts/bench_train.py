@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--remat_group", type=int, default=1,
                     help="checkpoint every N layers in the MoT scan "
                          "(sqrt-remat: /N carry memory, +~fwd/4 recompute)")
+    ap.add_argument("--no_remat", action="store_true",
+                    help="disable gradient checkpointing entirely (right-"
+                         "sized small packs leave the HBM headroom; kills "
+                         "the ~1.35x recompute tax)")
     ap.add_argument("--dino_remat_group", type=int, default=1,
                     help="same sqrt-remat for the 24-layer dino scan "
                          "(must divide 24)")
@@ -185,7 +189,7 @@ def main():
     def loss_fn(p):
         total, details = trainer.train_forward(
             p, batch, cfg, compute_dtype=jnp.bfloat16, attn_impl="auto",
-            remat=True, geo_start=geo_start,
+            remat=not args.no_remat, geo_start=geo_start,
             remat_group=args.remat_group,
             dino_remat_group=args.dino_remat_group,
             head_view_chunk=(args.head_view_chunk

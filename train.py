@@ -19,6 +19,11 @@ import os
 def parse_args():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data_config", type=str, default=None)
+    ap.add_argument("--tokenizer_path", type=str, default=None,
+                    help="tokenizer dir (vocab.json/merges.txt) when training "
+                         "without a full --model_path checkpoint — text in "
+                         "--data_config datasets is encoded with it instead "
+                         "of the hash-stub fallback")
     ap.add_argument("--model_path", type=str, default=None,
                     help="init from reference checkpoint dir")
     ap.add_argument("--bootstrap_moe", action="store_true",
@@ -261,6 +266,14 @@ def main():
         tokenizer, new_token_ids, _ = load_tokenizer(args.model_path)
     else:
         params = jg.init_params(cfg, jax.random.PRNGKey(args.seed), jnp.float32)
+        if args.tokenizer_path:
+            from g2vlm_tpu.data.tokenizer import load_tokenizer
+
+            tokenizer, new_token_ids, _ = load_tokenizer(args.tokenizer_path)
+            assert len(tokenizer) <= cfg.llm.vocab_size, (
+                f"tokenizer vocab {len(tokenizer)} exceeds model vocab "
+                f"{cfg.llm.vocab_size}"
+            )
     if cfg.train_conf_pi3:
         # fill any conf pieces the checkpoint lacked (an un-conf-trained
         # reference ckpt has no conf_decoder/conf_head/Pi3Loss.* keys)
