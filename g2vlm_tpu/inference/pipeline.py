@@ -116,6 +116,12 @@ class G2VLMPipeline:
         self._chat_prefill_u8_jit = functools.lru_cache(maxsize=8)(
             self._make_chat_prefill_u8_fn
         )
+        self._chat_encode_u8_jit = functools.lru_cache(maxsize=8)(
+            self._make_chat_encode_u8_fn
+        )
+        self._chat_prefill_emb_jit = functools.lru_cache(maxsize=8)(
+            self._make_chat_prefill_emb_fn
+        )
 
     # ------------------------------------------------------------------
     def _encode_text(self, text: str, add_bos: bool = False) -> List[int]:
@@ -209,6 +215,66 @@ class G2VLMPipeline:
                 vit_patches=vit_patches,
                 vit_coords=vit_coords_j,
                 vit_seg=vit_seg_j,
+                return_kv=True,
+            )
+
+        return jax.jit(fn)
+
+    def _make_chat_encode_u8_fn(self, key):
+        """Per-chunk tower program for the chunked-upload chat path: uint8
+        frames chunk -> device preprocess -> dino encode + packed ViT encode.
+        Running view chunks in separate programs lets chunk i's tower compute
+        overlap chunk i+1's host->device transfer (the same overlap
+        recon_from_frames uses for its dino-only prefill)."""
+        from ..data.device_preprocess import (
+            preprocess_views_device, preprocess_vit_frames_device,
+            vit_device_grid,
+        )
+        from ..models import qwen_vit
+
+        nc, h0, w0, th, tw = key
+        grid = vit_device_grid()
+        per = int(np.prod(grid))
+        coords = jnp.asarray(
+            np.concatenate([qwen_vit.merge_permuted_hw_coords(grid)] * nc)
+        )
+        seg_np = np.repeat(np.arange(nc, dtype=np.int32), per)
+        seg = jnp.asarray(seg_np)
+        row_chunks = qwen_vit.packed_row_chunks(seg_np)
+
+        def fn(params, frames):
+            views = preprocess_views_device(frames, (th, tw))
+            dino_emb = jg.encode_dino_to_llm(
+                params, views.astype(self.compute_dtype), self.cfg,
+                self.compute_dtype,
+            )
+            vit_patches = preprocess_vit_frames_device(
+                frames, out_dtype=self.compute_dtype
+            )
+            vit_emb = qwen_vit.encode_packed(
+                params["vit"], vit_patches, coords, seg, self.cfg.vit,
+                self.compute_dtype, attn_impl=self.attn_impl,
+                row_chunks=row_chunks,
+            )
+            return dino_emb, vit_emb
+
+        return jax.jit(fn)
+
+    def _make_chat_prefill_emb_fn(self, key: "_HashableArrays"):
+        """Main chat prefill consuming pre-encoded tower tokens from the
+        per-chunk programs (chunked-upload overlap path)."""
+        prefill, chunks = key.payload
+
+        def fn(params, dino_embs, vit_embs):
+            return jg.prefill_hidden(
+                params,
+                prefill,
+                None,
+                self.cfg,
+                compute_dtype=self.compute_dtype,
+                attn_impl=self.attn_impl,
+                dino_emb=jnp.concatenate(dino_embs, axis=0),
+                vit_emb=jnp.concatenate(vit_embs, axis=0),
                 return_kv=True,
             )
 
@@ -465,32 +531,69 @@ class G2VLMPipeline:
 
         start_token = self._start_token()
 
-        if frames is not None:
-            fn = self._chat_prefill_u8_jit(
-                _HashableArrays(
-                    (prefill, vit_coords, vit_seg, (h0, w0, h, w, pat_pad))
-                )
-            )
-            upload = (frames,)
-        else:
-            # upload in compute dtype: the first consumer casts to bf16
-            # anyway, and halving the bytes matters through the high-latency
-            # device link (32-view chat moves ~250MB of ViT patches per call)
-            normed = resnet_normalize(views).astype(
-                np.dtype(self.compute_dtype)
-            )
-            vit_patches = vit_patches.astype(np.dtype(self.compute_dtype))
-            fn = self._chat_prefill_jit(
-                _HashableArrays((prefill, vit_coords, vit_seg))
-            )
-            upload = (normed, vit_patches)
+        upload_chunks = int(os.environ.get("G2VLM_UPLOAD_CHUNKS", "4"))
+        chunked = (
+            frames is not None
+            and upload_chunks > 1
+            and n % upload_chunks == 0
+            and n >= 2 * upload_chunks
+        )
         t_upload = None
-        if return_info:
+        if chunked:
+            # chunked-upload overlap (the recon_from_frames pattern applied
+            # to chat, reference forward_cache_update_vit g2vlm.py:812-866):
+            # encode view chunks' dino+ViT towers in separate programs so
+            # chunk i's tower compute runs while chunk i+1 is still crossing
+            # the host->device link; the main program consumes pre-encoded
+            # tokens. t_upload here is the whole overlapped upload+towers
+            # stage (the stages are no longer separable by construction).
+            nc = n // upload_chunks
+            enc = self._chat_encode_u8_jit((nc, h0, w0, h, w))
             t0 = time.perf_counter()
-            upload = jax.block_until_ready(jax.device_put(upload))
-            t_upload = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        _, kv = fn(self.params, *(jnp.asarray(u) for u in upload))
+            embs = [
+                enc(self.params, jnp.asarray(frames[i * nc : (i + 1) * nc]))
+                for i in range(upload_chunks)
+            ]
+            if return_info:
+                jax.block_until_ready(embs)
+                t_upload = time.perf_counter() - t0
+            fn = self._chat_prefill_emb_jit(
+                _HashableArrays((prefill, upload_chunks))
+            )
+            t0 = time.perf_counter()
+            _, kv = fn(
+                self.params,
+                tuple(d for d, _ in embs),
+                tuple(v for _, v in embs),
+            )
+            del embs
+        else:
+            if frames is not None:
+                fn = self._chat_prefill_u8_jit(
+                    _HashableArrays(
+                        (prefill, vit_coords, vit_seg, (h0, w0, h, w, pat_pad))
+                    )
+                )
+                upload = (frames,)
+            else:
+                # upload in compute dtype: the first consumer casts to bf16
+                # anyway, and halving the bytes matters through the
+                # high-latency device link (32-view chat moves ~250MB of
+                # host-built ViT patches per call)
+                normed = resnet_normalize(views).astype(
+                    np.dtype(self.compute_dtype)
+                )
+                vit_patches = vit_patches.astype(np.dtype(self.compute_dtype))
+                fn = self._chat_prefill_jit(
+                    _HashableArrays((prefill, vit_coords, vit_seg))
+                )
+                upload = (normed, vit_patches)
+            if return_info:
+                t0 = time.perf_counter()
+                upload = jax.block_until_ready(jax.device_put(upload))
+                t_upload = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            _, kv = fn(self.params, *(jnp.asarray(u) for u in upload))
         if return_info:
             jax.block_until_ready(kv)
             t_forward = time.perf_counter() - t0

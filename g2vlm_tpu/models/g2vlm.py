@@ -348,6 +348,7 @@ def prefill_hidden(
     vit_coords: Optional[jax.Array] = None,
     vit_seg: Optional[jax.Array] = None,
     dino_emb: Optional[jax.Array] = None,
+    vit_emb: Optional[jax.Array] = None,
 ):
     """One packed prefill forward. Returns (hidden (S, D), kv or None).
 
@@ -355,9 +356,10 @@ def prefill_hidden(
     prepare_vit_images g2vlm.py:735-810) or as packed per-image grids
     (vit_coords/vit_seg -> qwen_vit.encode_packed), matching the reference's
     variable-grid flash-attn cu_seqlens path (modeling_qwen2_vl.py:1048-1072).
-    `dino_emb` (N*hw, D_llm) supplies pre-encoded geometry tokens (the
-    chunked-upload serving path encodes view chunks in separate programs so
-    uploads overlap encoder compute) instead of `dino_images`.
+    `dino_emb` (N*hw, D_llm) / `vit_emb` (N*per//4, D_llm) supply pre-encoded
+    tower tokens (the chunked-upload serving path encodes view chunks in
+    separate programs so uploads overlap encoder compute) instead of
+    `dino_images` / `vit_patches`.
     """
     d = cfg.llm.hidden_size
     seq = jnp.zeros((len(prefill.doc_id), d), compute_dtype)
@@ -372,7 +374,11 @@ def prefill_hidden(
     elif dino_images is not None and len(prefill.dino_indexes):
         dino_emb = encode_dino_to_llm(params, dino_images, cfg, compute_dtype)
         seq = seq.at[jnp.asarray(prefill.dino_indexes)].set(dino_emb)
-    if vit_patches is not None and len(prefill.vit_indexes):
+    if vit_emb is not None and len(prefill.vit_indexes):
+        seq = seq.at[jnp.asarray(prefill.vit_indexes)].set(
+            vit_emb[: len(prefill.vit_indexes)].astype(compute_dtype)
+        )
+    elif vit_patches is not None and len(prefill.vit_indexes):
         from . import qwen_vit
 
         if vit_coords is not None:

@@ -222,6 +222,29 @@ def test_generate_batched_matches_single(pipe):
         assert int(np.asarray(num_b)[i]) == n
 
 
+def test_chat_chunked_upload_matches_fused(pipe, rng, monkeypatch):
+    """The chunked-upload chat path (per-chunk dino+ViT encode programs +
+    emb-consuming prefill) must decode the same tokens as the one-shot
+    device-preprocess program: chunk boundaries are view-aligned, and both
+    towers are segment-independent across views, so the split is exact."""
+    frames = [
+        (rng.random((54, 76, 3)) * 255).astype(np.uint8) for _ in range(8)
+    ]
+    monkeypatch.setenv("G2VLM_UPLOAD_CHUNKS", "1")
+    a, info_a = pipe.chat(
+        frames, "layout?", max_new_tokens=5, return_info=True,
+        device_preprocess=True,
+    )
+    monkeypatch.setenv("G2VLM_UPLOAD_CHUNKS", "4")
+    b, info_b = pipe.chat(
+        frames, "layout?", max_new_tokens=5, return_info=True,
+        device_preprocess=True,
+    )
+    assert info_a["prefill_len"] == info_b["prefill_len"]
+    assert a == b
+    assert info_b["num_tokens"] > 0
+
+
 def test_chat_device_preprocess_matches_host_path(pipe, rng):
     """chat(device_preprocess=True) — uint8 frames in, dino+ViT preprocess
     fused on device — must build the identical packed prefill (same grids,
