@@ -465,6 +465,7 @@ def decoder_forward(
     collect_hidden: bool = False,
     collect_kv: bool = True,
     remat_group: int = 1,
+    remat_inner: bool = True,
     sp=None,
 ) -> Tuple[jax.Array, Dict]:
     """Run all layers. Returns (hidden (S, D) after final norm, aux dict with
@@ -530,12 +531,20 @@ def decoder_forward(
 
     if past_kv is None:
         step = lambda c, lp: body(c, (lp, None))
-        if remat:
+        grouped = (
+            remat and remat_group > 1
+            and not collect_hidden and not collect_kv
+        )
+        if remat and (remat_inner or not grouped):
             # trade recompute for activation memory across the 28-layer scan
             # (the reference's apply_activation_checkpointing equivalent,
-            # train/fsdp_utils.py:533-547)
+            # train/fsdp_utils.py:533-547). With remat_inner=False under a
+            # group checkpoint, the GROUP recompute pass saves each layer's
+            # internals for its bwd instead of recomputing per layer — one
+            # less fwd pass per step (executed FLOPs ~4x fwd -> ~3.3x) at
+            # the cost of holding one group's layer internals live in bwd.
             step = jax.checkpoint(step, prevent_cse=False)
-        if remat and remat_group > 1 and not collect_hidden and not collect_kv:
+        if grouped:
             # sqrt-remat: checkpoint GROUPS of layers so the scan-bwd saves
             # one (S, D) carry per group instead of per layer (3.17G -> /G
             # at the 36864 pack); the nested per-layer checkpoint keeps the

@@ -573,6 +573,12 @@ def _int8_use_hadamard() -> bool:
     return os.environ.get("G2VLM_ATTN_INT8_HAD", "1") == "1"
 
 
+def _int8_use_kmean() -> bool:
+    import os
+
+    return os.environ.get("G2VLM_ATTN_INT8_KMEAN", "1") == "1"
+
+
 def _flash_int8(qp, kp, vp, qm, km, scale, block_q, block_kv, interpret):
     """Quantize + launch the int8-QK forward. NOT differentiable by design
     (jnp.round on the int8 path has no VJP): training must use _flash.
@@ -593,6 +599,19 @@ def _flash_int8(qp, kp, vp, qm, km, scale, block_q, block_kv, interpret):
 
     qf = qp.astype(jnp.float32)
     kf = kp.astype(jnp.float32)
+    if _int8_use_kmean():
+        # SageAttention-style K smoothing: subtract the per-(kvh, channel)
+        # mean of the REAL keys (padding rows carry doc=-1 meta) before
+        # quantization. Exactly softmax-invariant: every score in q-row i
+        # shifts by the same -q_i.mean across all kv columns, so the
+        # normalized probabilities are unchanged. Accuracy win: keys share a
+        # large common-mode component across tokens; removing it shrinks the
+        # per-token |k| max and hence the int8 rounding step relative to the
+        # informative (token-varying) signal.
+        real = (km[0] >= 0).astype(jnp.float32)  # (Skv,)
+        denom = jnp.maximum(jnp.sum(real), 1.0)
+        kmean = jnp.sum(kf * real[None, :, None], axis=1, keepdims=True) / denom
+        kf = kf - kmean
     if d & (d - 1) == 0 and _int8_use_hadamard():
         had = jnp.asarray(_hadamard(d))
         qf = qf @ had

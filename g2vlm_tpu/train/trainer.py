@@ -79,6 +79,7 @@ def train_forward(
     head_view_chunk: int = 0,
     remat_group: int = 1,
     dino_remat_group: int = 1,
+    remat_inner: bool = True,
 ) -> Tuple[jax.Array, Dict]:
     """One packed sample -> scalar loss + details.
 
@@ -128,6 +129,7 @@ def train_forward(
         geo_start=geo_start,
         collect_kv=False,
         remat_group=remat_group,
+        remat_inner=remat_inner,
         compute_dtype=compute_dtype,
         attn_impl=attn_impl,
         remat=remat,
@@ -431,6 +433,7 @@ def make_train_step(
     head_view_chunk: int = 0,
     remat_group: int = 1,
     dino_remat_group: int = 1,
+    remat_inner: bool = True,
 ):
     """Returns train_step(state, batch) -> (state, metrics). `batch` carries a
     leading dp-batch axis; the loss is the mean over it. Pass geo_start (a
@@ -449,6 +452,7 @@ def make_train_step(
                 sp=sp, head_view_chunk=head_view_chunk,
                 remat_group=remat_group,
                 dino_remat_group=dino_remat_group,
+                remat_inner=remat_inner,
             )
 
         if sp is not None:

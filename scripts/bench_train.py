@@ -40,6 +40,11 @@ def main():
                     help="disable gradient checkpointing entirely (right-"
                          "sized small packs leave the HBM headroom; kills "
                          "the ~1.35x recompute tax)")
+    ap.add_argument("--no_inner_remat", action="store_true",
+                    help="with --remat_group N: keep only the GROUP "
+                         "checkpoint; the group recompute saves layer "
+                         "internals instead of re-rematting per layer "
+                         "(one less fwd pass, + one group's internals HBM)")
     ap.add_argument("--dino_remat_group", type=int, default=1,
                     help="same sqrt-remat for the 24-layer dino scan "
                          "(must divide 24)")
@@ -191,6 +196,7 @@ def main():
             p, batch, cfg, compute_dtype=jnp.bfloat16, attn_impl="auto",
             remat=not args.no_remat, geo_start=geo_start,
             remat_group=args.remat_group,
+            remat_inner=not args.no_inner_remat,
             dino_remat_group=args.dino_remat_group,
             head_view_chunk=(args.head_view_chunk
                              if args.views % max(args.head_view_chunk, 1) == 0
@@ -359,7 +365,24 @@ def main():
     dino_p = 0.3e9
     dino_flops = 2 * (n * (hw_tok + 5)) * dino_p
     heads_flops = 2 * (n * hw_tok) * 0.2e9
-    fwd_flops = llm_flops + attn_flops + dino_flops + heads_flops
+    # ViT tower (und-SFT stages execute it on every step — useful model
+    # FLOPs the r3 estimate silently dropped, understating und-SFT MFU):
+    # 32 layers at PRE-merge length + quadratic per-image attention +
+    # the PatchMerger MLP at merged length.
+    vit_flops = 0.0
+    if not args.no_vit:
+        vd, vdep = cfg.vit.embed_dim, cfg.vit.depth
+        vit_layer_params = vdep * 12 * vd * vd            # qkvo + 4x MLP
+        m2 = cfg.vit.spatial_merge_size ** 2
+        merger_params = (vd * m2) ** 2 + vd * m2 * cfg.vit.hidden_size
+        s_img = gh * gw                                    # pre-merge/image
+        p_premerge = args.vit_images * s_img
+        vit_flops = (
+            2 * p_premerge * vit_layer_params
+            + 4 * args.vit_images * s_img * s_img * vd * vdep
+            + 2 * (p_premerge // m2) * merger_params
+        )
+    fwd_flops = llm_flops + attn_flops + dino_flops + heads_flops + vit_flops
     # bwd = dX (1x fwd) + dW GEMMs only for the trainable partition
     dw_frac = opt_scale_n / n_params
     total_flops = (2 + dw_frac) * fwd_flops
@@ -370,8 +393,10 @@ def main():
         flush=True,
     )
     print(
-        f"tokens/s/chip {toks_s:,.0f}  est. MFU {mfu*100:.0f}% "
-        f"(~{total_flops/1e12:.1f} TFLOP/step, v5e peak 197 TF bf16)",
+        f"tokens/s/chip {toks_s:,.0f} (real {s_real/step:,.0f})  "
+        f"est. MFU {mfu*100:.0f}% "
+        f"(~{total_flops/1e12:.1f} TFLOP/step of which ViT "
+        f"{ (2 + dw_frac) * vit_flops/1e12:.1f}, v5e peak 197 TF bf16)",
         flush=True,
     )
     print(f"details: { {k: round(float(v), 4) for k, v in details.items()} }",

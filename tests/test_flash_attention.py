@@ -430,3 +430,52 @@ def test_int8_qk_not_differentiable():
 
     with pytest.raises(Exception):
         jax.grad(loss)(q)
+
+
+def test_int8_kmean_softmax_invariance_and_accuracy(rng, monkeypatch):
+    """K channel-mean subtraction (SageAttention-style smoothing) is exactly
+    softmax-invariant — dense attention with K and K - mean(K) agree — and
+    it rescues int8 accuracy when keys carry a large common-mode offset
+    (the regime real qk-normed layers live in)."""
+    S, H, KVH, D = 256, 2, 2, 128
+    q = rng.standard_normal((S, H, D)).astype(np.float32)
+    k = rng.standard_normal((S, KVH, D)).astype(np.float32)
+    # strong common-mode component: channel bias shared by every token,
+    # 8x the token-varying signal — inflates the per-token |k| max and
+    # hence the int8 rounding step
+    k = k + 8.0 * rng.standard_normal((1, KVH, D)).astype(np.float32)
+    v = rng.standard_normal((S, KVH, D)).astype(np.float32)
+    info = make_token_info_np([S], [128, 128], ["causal", "full"])
+
+    # 1) the math: subtracting any fixed vector from every key is a
+    # row-constant score shift -> identical softmax output
+    km = k.mean(axis=0, keepdims=True)
+    ref = segment_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), info, info,
+        impl="dense",
+    )
+    ref_shift = segment_attention(
+        jnp.asarray(q), jnp.asarray(k - km), jnp.asarray(v), info, info,
+        impl="dense",
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref_shift), np.asarray(ref), atol=5e-5, rtol=1e-4
+    )
+
+    # 2) the int8 kernel: kmean on (default) vs off under the common-mode K
+    def run_int8():
+        out = flash_segment_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), info, info,
+            block_q=128, block_kv=128, interpret=True, int8_qk=True,
+        )
+        return np.abs(np.asarray(out) - np.asarray(ref)).max() / np.abs(ref).max()
+
+    monkeypatch.setenv("G2VLM_ATTN_INT8_KMEAN", "0")
+    err_off = run_int8()
+    monkeypatch.setenv("G2VLM_ATTN_INT8_KMEAN", "1")
+    err_on = run_int8()
+    assert err_on < 2e-2, f"int8+kmean rel err {err_on:.3e}"
+    assert err_on < err_off / 2, (
+        f"kmean should cut the common-mode error: on={err_on:.3e} "
+        f"off={err_off:.3e}"
+    )

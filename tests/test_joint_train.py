@@ -356,3 +356,35 @@ def test_pi3_predict_view_chunked_exact(rng):
         kf, kc = np.asarray(kf, np.float64), np.asarray(kc, np.float64)
         denom = max(float(np.abs(kf).max()), 1e-6)
         assert float(np.abs(kc - kf).max()) / denom < 5e-3
+
+
+def test_remat_inner_off_matches(rng):
+    """remat_inner=False (group checkpoint only — the bwd-time/memory trade
+    exposed as train.py --no_inner_remat) is a pure scheduling change: loss
+    and grads match the default nested-checkpoint path to fp32 roundoff
+    (the recompute schedule changes fusion/reassociation, so not bitwise)."""
+    cfg = tiny_test_config()
+    params = jg.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    params["dino2llm"]["w"] = (
+        jax.random.normal(jax.random.PRNGKey(1), params["dino2llm"]["w"].shape)
+        * 0.02
+    )
+    tb = _to_train_batch(_pack_joint(rng))
+
+    def grad_at(remat_inner):
+        def loss_fn(p):
+            total, _ = trainer.train_forward(
+                p, tb, cfg, compute_dtype=jnp.float32, remat=True,
+                remat_group=2, remat_inner=remat_inner,
+            )
+            return total
+
+        return jax.value_and_grad(loss_fn)(params)
+
+    t_on, g_on = grad_at(True)
+    t_off, g_off = grad_at(False)
+    np.testing.assert_allclose(float(t_off), float(t_on), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g_on), jax.tree.leaves(g_off)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-4
+        )

@@ -92,6 +92,12 @@ def parse_args():
     ap.add_argument("--dino_remat_group", type=int, default=1,
                     help="same sqrt-remat for the dino encoder scan "
                          "(N must divide its 24 layers)")
+    ap.add_argument("--no_inner_remat", action="store_true",
+                    help="with --remat_group N: keep only the GROUP "
+                         "checkpoint (the group recompute saves layer "
+                         "internals for bwd instead of re-rematting each "
+                         "layer — one less fwd pass per step, + one "
+                         "group's layer internals of HBM)")
     ap.add_argument("--head_view_chunk", type=int, default=0,
                     help="run Pi3 head decoders over view chunks of this "
                          "size (lax.map) to bound the backward arena; the "
@@ -340,6 +346,7 @@ def main():
                 head_view_chunk=args.head_view_chunk,
                 remat_group=args.remat_group,
                 dino_remat_group=args.dino_remat_group,
+                remat_inner=not args.no_inner_remat,
             )
         )
 
