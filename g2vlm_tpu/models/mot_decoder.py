@@ -505,6 +505,16 @@ def decoder_forward(
 
     def body(carry, xs):
         h = carry
+        if sp is None:
+            # Same involuntary-remat pin for the hidden-state carry: under
+            # the interpret-lowered kernel the partitioner assigns the loop
+            # param a degenerate batch-dim sharding ({8,1,1} on a size-1
+            # axis) and full-remats it to the consumer sharding every layer.
+            # Activations are replicated-per-dp-shard by design in the
+            # non-SP path (TP shards weights, not the inter-layer carry),
+            # so the pin states the intended layout. Skipped under SP where
+            # the carry is sequence-sharded by shard_map.
+            h = _pin_replicated(h)
         lp, pkv = xs
         h, new_kv = mot_layer_forward(
             lp,
@@ -527,6 +537,10 @@ def decoder_forward(
             # training discards the cache: emitting it stacks (L,S,KVH,HD)
             # k/v (~1G at the 36864 pack) through the scan for nothing
             new_kv = None
+        if sp is None:
+            # pin the OUTPUT too: the while-loop param's sharding is derived
+            # from the body root, so an input-only pin doesn't bind it
+            h = _pin_replicated(h)
         return h, ((new_kv, h) if collect_hidden else new_kv)
 
     if past_kv is None:

@@ -153,6 +153,20 @@ def _segment_attention_chunked(q, k, v, q_info, kv_info, scale, kv_chunk):
 FORCE_PALLAS_INTERPRET = False
 
 
+def _pin_replicated_under_mesh(x: jax.Array) -> jax.Array:
+    """with_sharding_constraint(x, P()) when an ambient mesh is active,
+    identity otherwise. Used only on the interpret-Pallas debug path."""
+    try:
+        from jax.sharding import PartitionSpec
+        from jax._src.mesh import thread_resources
+
+        if not thread_resources.env.physical_mesh.empty:
+            return jax.lax.with_sharding_constraint(x, PartitionSpec())
+    except (ImportError, AttributeError):
+        pass
+    return x
+
+
 def segment_attention(
     q: jax.Array,  # (S_q, num_heads, head_dim)
     k: jax.Array,  # (S_kv, num_kv_heads, head_dim)
@@ -191,13 +205,24 @@ def segment_attention(
         try:
             from .flash_attention import flash_segment_attention
 
-            return flash_segment_attention(
+            if FORCE_PALLAS_INTERPRET:
+                # interpret=True lowers the kernel body to plain HLO, whose
+                # internals the SPMD partitioner then tries to shard — it
+                # invents head-dim splits that bleed into enclosing loop
+                # params as "involuntary full rematerialization" warnings
+                # (MULTICHIP_r04 tail). Pin the emulated island replicated;
+                # the real Mosaic custom call is opaque and needs no pin.
+                q, k, v = (_pin_replicated_under_mesh(x) for x in (q, k, v))
+            out = flash_segment_attention(
                 q, k, v, q_info, kv_info, scale=scale,
                 interpret=FORCE_PALLAS_INTERPRET,
                 # int8 QK^T (inference only — non-differentiable by design;
                 # the auto rule never selects it, callers opt in)
                 int8_qk=(impl == "pallas_int8"),
             )
+            if FORCE_PALLAS_INTERPRET:
+                out = _pin_replicated_under_mesh(out)
+            return out
         except ImportError:
             impl = "chunked"
     if impl == "dense":
